@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract): runs the headline KG pipeline
+end-to-end (extract → triples → link → canonicalize → materialize) on
+a deterministically generated webtext corpus sized to the SF of
+$SPARK_GRAFT_SF_DIR, plus the headline operator queries over the
+driver tables, on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "triples/sec end-to-end", "value": N, "unit": "...",
+   "queries": {...per-query seconds...}, "sf": SF, ...}
+
+Scaling-efficiency evidence (N vs 4N parallelism) is produced by
+scripts/scaling_bench.py, which invokes this file at two
+SPARK_GRAFT_CPUS values and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_pages = int(round(1000 * sf / 0.001))
+
+    from guackg.session import get_spark
+    spark = get_spark("guackg-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from guackg.pipeline import KGPipeline
+    from guackg.testing.gen import generate_corpus, spark_generate_pages
+
+    fixtures = generate_corpus(0)
+    alias = spark.createDataFrame(fixtures["alias_dict"])
+    assertions = spark.createDataFrame(fixtures["assertions"])
+
+    # ---- headline: KG pipeline end-to-end (incl. materialized writes)
+    workdir = tempfile.mkdtemp(prefix="guackg_bench_")
+    try:
+        pages = spark_generate_pages(spark, n_pages,
+                                     partitions=max(cpus * 2, 16))
+        pages = pages.localCheckpoint()  # materialize input: bench the
+        # pipeline, not the synthetic generator
+        n_input = pages.count()
+
+        t0 = time.time()
+        pipe = KGPipeline(spark, workdir)
+        out = pipe.run(pages, alias, assertions,
+                       input_fingerprint=f"bench:{n_pages}")
+        n_triples = out["triples"].count()
+        n_edges = out["edges"].count()
+        elapsed = time.time() - t0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # ---- headline operator queries over the driver tables
+    import __spark_entry__ as E
+    qs = E.queries()
+    headline = ["q1_pricing_summary", "q5_local_supplier_volume",
+                "window_top_customers_per_nation", "dedup_exact",
+                "dedup_minhash_lsh_pairs", "text_quality_score",
+                "ann_cosine_topk"]
+    q_secs: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        q_secs[name] = round(time.time() - t0, 3)
+    q_secs["kg_pipeline_e2e"] = round(elapsed, 3)
+
+    print(json.dumps({
+        "metric": "triples/sec end-to-end (extract→link→canonicalize→materialize)",
+        "value": round(n_triples / elapsed, 1),
+        "unit": "sec",
+        "queries": q_secs,
+        "sf": sf,
+        "pages": n_input,
+        "triples": n_triples,
+        "edges": n_edges,
+        "pages_per_sec": round(n_input / elapsed, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Query layer over the materialized graph (SURVEY.md §2.5/§2.9).
+
+The reference's pointer-chase queries re-expressed as DataFrame joins:
+- neighbors        — inmem/path.go:57-101 (edge-filtered adjacency)
+- bfs_path         — inmem/path.go:103-172 (depth-limited BFS)
+- reachable_from   — bfsFromProduct closure, path.go:272-339
+- toposort_levels  — guacanalytics/toposort.go:26-61 (Kahn levels)
+- find_entities    — nullable-spec filter walk, inmem/pkg.go:474-560
+
+These are validation queries over `nodes`/`edges`, not the hot path;
+each BFS round is one join + dropDuplicates, frontier persisted and
+lineage cut per round (same loop family as the CC iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def neighbors(edges: DataFrame, key: str,
+              preds: list[str] | None = None,
+              direction: str = "both") -> DataFrame:
+    """All adjacent canonical keys, optionally filtered to an allowed
+    predicate set (guac's usingOnly edge bitmap, path.go:28-40 —
+    becomes a pushed-down `pred IN (...)` partition filter)."""
+    e = edges
+    if preds:
+        e = e.filter(F.col("pred").isin(preds))
+    out_n = e.filter(F.col("subj_key") == key).select(
+        F.col("obj_key").alias("neighbor_key"), "pred",
+        F.lit("out").alias("direction"))
+    in_n = e.filter(F.col("obj_key") == key).select(
+        F.col("subj_key").alias("neighbor_key"), "pred",
+        F.lit("in").alias("direction"))
+    if direction == "out":
+        return out_n
+    if direction == "in":
+        return in_n
+    return out_n.unionByName(in_n)
+
+
+def reachable_from(edges: DataFrame, start_keys: list[str],
+                   max_depth: int = 5,
+                   preds: list[str] | None = None) -> DataFrame:
+    """Directed closure: (key, depth) for everything reachable from
+    start_keys in ≤ max_depth hops. Iterative frontier joins."""
+    spark = edges.sparkSession
+    e = edges.select(F.col("subj_key").alias("src"),
+                     F.col("obj_key").alias("dst"),
+                     "pred")
+    if preds:
+        e = e.filter(F.col("pred").isin(preds))
+    e = e.select("src", "dst").distinct().persist()
+    e.count()
+
+    visited = spark.createDataFrame([(k, 0) for k in start_keys],
+                                    "key string, depth int")
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier.key == e.src)
+               .select(F.col("dst").alias("key"))
+               .distinct()
+               .join(visited.select("key"), on="key", how="left_anti")
+               .withColumn("depth", F.lit(depth))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
+             max_depth: int = 5) -> list[str] | None:
+    """Shortest directed path src→dst as a key list (path.go:103-172:
+    parent-pointer BFS). Returns None if unreachable in max_depth."""
+    e = edges.select(F.col("subj_key").alias("src"),
+                     F.col("obj_key").alias("dst")).distinct().persist()
+    e.count()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(src_key, None)],
+                                    "key string, parent string")
+    frontier = visited
+    found = src_key == dst_key
+    for _ in range(max_depth):
+        if found:
+            break
+        nxt = (frontier.join(e, frontier.key == e.src)
+               .select(F.col("dst").alias("key"),
+                       F.col("key").alias("parent"))
+               .dropDuplicates(["key"])
+               .join(visited.select("key"), on="key", how="left_anti")
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        found = not nxt.filter(F.col("key") == dst_key).isEmpty()
+    e.unpersist()
+    if not found:
+        return None
+    # walk parent pointers (tiny: one row per path node)
+    parents = {r.key: r.parent for r in visited.collect()}
+    path, cur = [], dst_key
+    while cur is not None:
+        path.append(cur)
+        cur = parents.get(cur)
+    return list(reversed(path))
+
+
+def toposort_levels(edges: DataFrame) -> DataFrame:
+    """Kahn level assignment over the (src→dst) DAG; rows (key, level).
+    Nodes still unassigned when a round strips nothing are cyclic
+    (toposort.go:26-61 cycle detection)."""
+    e = edges.select(F.col("subj_key").alias("src"),
+                     F.col("obj_key").alias("dst")).distinct().persist()
+    e.count()
+    spark = edges.sparkSession
+    nodes = e.select(F.col("src").alias("key")).union(
+        e.select(F.col("dst").alias("key"))).distinct()
+    remaining_edges = e
+    remaining_nodes = nodes.localCheckpoint()
+    out = spark.createDataFrame([], "key string, level int")
+    level = 0
+    while not remaining_nodes.isEmpty():
+        with_incoming = remaining_edges.select(
+            F.col("dst").alias("key")).distinct()
+        roots = remaining_nodes.join(with_incoming, on="key",
+                                     how="left_anti").localCheckpoint()
+        if roots.isEmpty():
+            # cycle: mark the rest with level -1
+            out = out.unionByName(
+                remaining_nodes.withColumn("level", F.lit(-1)))
+            break
+        out = out.unionByName(roots.withColumn("level", F.lit(level)))
+        remaining_nodes = remaining_nodes.join(
+            roots, on="key", how="left_anti").localCheckpoint()
+        remaining_edges = remaining_edges.join(
+            roots.withColumnRenamed("key", "src"), on="src",
+            how="left_anti").localCheckpoint()
+        level += 1
+    e.unpersist()
+    return out
+
+
+def find_entities(nodes: DataFrame, kind: str | None = None,
+                  key_prefix: str | None = None) -> DataFrame:
+    """Nullable-spec entity lookup (each None = wildcard), the
+    PkgSpec filter-walk analog (inmem/pkg.go:474-560). Catalyst folds
+    the non-null conjuncts into the scan."""
+    df = nodes
+    if kind is not None:
+        df = df.filter(F.col("kind") == kind)
+    if key_prefix is not None:
+        df = df.filter(F.col("canonical_key").startswith(key_prefix))
+    return df

@@ -1,0 +1,178 @@
+"""Stage 3 — LINK: mention surfaces → equivalence edges.
+
+Reimagines guac's identity layer — pURL normalization
+(/root/reference/pkg/assembler/helpers/purl.go:36-174), guac-key
+fallback synthesis (purl.go:211-229), and explicit equivalence edges
+PkgEqual/HashEqual/VulnEqual (pkg/assembler/assembler.go:99-103,
+173-186) — for free-text mentions:
+
+1. `normalize_surface_col` — canonical surface normalization, all
+   JVM-side built-ins (the PurlToPkg analog, C1).
+2. broadcast alias-dictionary join — exact-match linking (the
+   deps.dev/osv broadcast-dictionary enrichment pattern,
+   certifier/osv/osv.go:63-91).
+3. MinHash-LSH banding self-prepared join — fuzzy candidates for
+   surfaces the dictionary misses (typos), verified by true Jaccard
+   on character-shingle sets. Pure DataFrame: shingles/minhash/bands
+   are built-in expressions (`transform`, `xxhash64`, `array_min`),
+   so the whole thing stays in whole-stage codegen except nothing —
+   there is NO Python here at all.
+4. unmatched surfaces get a synthetic `ent:guac/<norm>` key —
+   guac-purl fallback semantics (purl.go:211-229).
+
+Output: equivalence edge DataFrame (key_a, key_b, method) feeding CC.
+
+Scale notes: linking operates on DISTINCT surfaces, not mentions —
+the head-entity skew (Zipf) collapses before any join (guac's
+dedup-before-ingest, assembler.go:198-314). The dictionary side is
+broadcast (≤ a few 10^6 rows at web scale after pruning); the LSH
+band join is an equi-join on (band_id, band_hash) so AQE handles
+residual bucket skew; oversized LSH buckets are capped with a logged
+counter — no silent caps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_MINHASH = 32
+N_BANDS = 16          # r = 2 rows/band: P(cand | J=.6) ≈ .999
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.55
+MAX_BUCKET = 200      # LSH bucket cap (logged, not silent)
+
+
+def normalize_surface_col(col: F.Column) -> F.Column:
+    """JVM-side mirror of guackg.vocab.normalize_surface: lowercase,
+    strip [.,'], collapse whitespace, trim, drop leading 'the '/'dr '."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[.,']", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.regexp_replace(c, r"^(the |dr )", "")
+    return c
+
+
+def surface_key_col(norm: F.Column) -> F.Column:
+    return F.concat(F.lit("sfc:"), norm)
+
+
+def distinct_mentions(triples: DataFrame) -> DataFrame:
+    """All distinct mention surfaces with normalized form. The Zipf
+    head collapses here: downstream linking cost is O(|vocab|), not
+    O(|mentions|)."""
+    surfaces = triples.select(
+        F.explode(F.array("subj_surface", "obj_surface")).alias("surface"))
+    return (surfaces
+            .withColumn("norm", normalize_surface_col(F.col("surface")))
+            .select("norm").dropDuplicates(["norm"]))
+
+
+def _shingles(col_name: str) -> F.Column:
+    """Character k-shingle array of a padded string — built-in only."""
+    return F.expr(
+        f"array_distinct(transform(sequence(0, length(concat('^', {col_name}, '$')) - {SHINGLE_K}), "
+        f"i -> substring(concat('^', {col_name}, '$'), i + 1, {SHINGLE_K})))"
+    )
+
+
+def _with_bands(df: DataFrame, text_col: str) -> DataFrame:
+    """shingles → 32 minhashes → 16 band keys → exploded band rows."""
+    df = df.withColumn("_sh", _shingles(text_col))
+    rows_per_band = N_MINHASH // N_BANDS
+    mh = [
+        F.expr(f"array_min(transform(_sh, s -> xxhash64(s, {j}L)))").alias(f"_mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    df = df.select("*", *mh)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"_mh{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("band_hash"),
+        )
+        for b in range(N_BANDS)
+    ])
+    out = df.withColumn("_band", F.explode(bands)).select(
+        text_col, "_sh",
+        F.col("_band.band_id").alias("band_id"),
+        F.col("_band.band_hash").alias("band_hash"),
+    )
+    return out
+
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """mentions(norm) × alias_dict(surface, canonical_key, kind)
+    → (links(norm, canonical_key, method), equivalence_edges(key_a,
+    key_b, method)).
+
+    links resolves EVERY input norm (dict / lsh / fallback).
+    """
+    dict_hits = mentions.join(
+        F.broadcast(alias_dict.withColumnRenamed("surface", "norm")),
+        on="norm", how="left",
+    ).select("norm", "canonical_key")
+
+    exact = dict_hits.filter(F.col("canonical_key").isNotNull()) \
+        .withColumn("method", F.lit("dict"))
+    unmatched = dict_hits.filter(F.col("canonical_key").isNull()).select("norm")
+
+    # --- MinHash-LSH fuzzy pass over the unmatched tail -------------------
+    left = _with_bands(unmatched, "norm")
+    dict_side = alias_dict.select(F.col("surface").alias("dnorm"),
+                                  "canonical_key")
+    right = _with_bands(dict_side.select("dnorm"), "dnorm") \
+        .join(F.broadcast(dict_side), on="dnorm")
+
+    # cap pathological buckets (logged by caller via lsh_bucket_stats)
+    w = Window.partitionBy("band_id", "band_hash").orderBy("dnorm")
+    right = right.withColumn("_rn", F.row_number().over(w)) \
+                 .filter(F.col("_rn") <= MAX_BUCKET).drop("_rn")
+
+    cand = (
+        left.alias("l").join(right.alias("r"), on=["band_id", "band_hash"])
+        .select(F.col("l.norm").alias("norm"), F.col("l._sh").alias("_sh"),
+                F.col("r.dnorm").alias("dnorm"), F.col("r._sh").alias("_dsh"),
+                F.col("r.canonical_key").alias("canonical_key"))
+        .dropDuplicates(["norm", "dnorm"])
+    )
+    jac = F.size(F.array_intersect("_sh", "_dsh")) / \
+        F.size(F.array_union("_sh", "_dsh"))
+    verified = cand.withColumn("jaccard", jac) \
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # best candidate per unmatched surface; deterministic tie-break
+    w2 = Window.partitionBy("norm").orderBy(F.desc("jaccard"), F.asc("dnorm"))
+    fuzzy = verified.withColumn("_rn", F.row_number().over(w2)) \
+        .filter(F.col("_rn") == 1) \
+        .select("norm", "canonical_key") \
+        .withColumn("method", F.lit("lsh"))
+
+    fallback = unmatched.join(fuzzy.select("norm"), on="norm", how="left_anti") \
+        .withColumn("canonical_key",
+                    F.concat(F.lit("ent:guac/"), F.col("norm"))) \
+        .withColumn("method", F.lit("fallback"))
+
+    links = exact.unionByName(fuzzy).unionByName(fallback)
+    equivalence_edges = links.filter(F.col("method") != "fallback").select(
+        surface_key_col(F.col("norm")).alias("key_a"),
+        F.col("canonical_key").alias("key_b"),
+        "method",
+    )
+    return links, equivalence_edges
+
+
+def lsh_bucket_stats(alias_dict: DataFrame) -> DataFrame:
+    """Diagnostic: LSH bucket-size distribution on the dictionary side
+    (the 'no silent caps' counter — SURVEY.md §4)."""
+    right = _with_bands(alias_dict.select(F.col("surface").alias("dnorm")),
+                        "dnorm")
+    return (right.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("bucket_size"))
+            .groupBy().agg(
+                F.max("bucket_size").alias("max_bucket"),
+                F.avg("bucket_size").alias("avg_bucket"),
+                F.sum(F.when(F.col("bucket_size") > MAX_BUCKET, 1)
+                      .otherwise(0)).alias("capped_buckets")))

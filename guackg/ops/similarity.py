@@ -1,0 +1,104 @@
+"""Similarity search over an embedding column (array<float>).
+
+- `cosine_topk`      — exact brute-force top-k (the correctness anchor;
+  oracle: DuckDB list_cosine_similarity).
+- `lsh_cosine_topk`  — random-hyperplane-LSH bucketed variant (the
+  100-TB path: candidates share ≥1 hyperplane-sign band, so the join
+  touches buckets, not the full cross product).
+
+Dot products run JVM-side via `aggregate(zip_with(...))` — no Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    return F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame,
+                k: int = 5) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries(query_id, embedding) × embeddings(vec_id, embedding);
+    the query side is broadcast (small by construction), the corpus
+    side streams — one pass, no shuffle of the corpus."""
+    q = queries.select(F.col("query_id"), F.col("embedding").alias("qe"))
+    e = embeddings.select("vec_id", F.col("embedding").alias("ve"))
+    scored = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("vec_id"))
+              .withColumn("cosine", F.round(_cosine("qe", "ve"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def _bucket_udf(n_planes: int, n_tables: int, seed: int, dim: int):
+    """Arrow-vectorized sign-sketch: one numpy matmul per batch
+    (embeddings[B,D] @ planes[D, T*P] → sign bits → T bucket ids).
+    The hyperplanes are a pure function of (seed, dim) regenerated per
+    executor — nothing broadcast, fully deterministic (PCG64)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_tables * n_planes))
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (mat @ planes) >= 0  # [B, T*P]
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        out = []
+        for row in bits:
+            out.append([int(row[t * n_planes:(t + 1) * n_planes] @ weights)
+                        for t in range(n_tables)])
+        return pd.Series(out)
+
+    return buckets
+
+
+def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame,
+                    k: int = 5, n_planes: int = 12,
+                    n_tables: int = 4, seed: int = 42,
+                    dim: int | None = None) -> DataFrame:
+    """ANN via random-hyperplane LSH (sign sketches), deterministic in
+    `seed`. Each of `n_tables` hash tables buckets vectors by the sign
+    pattern of `n_planes` hyperplanes; candidates = same bucket in ANY
+    table; exact cosine re-rank (JVM-side) on candidates only.
+
+    At 100 TB: candidate generation shuffles on (t, bucket) — ~1/2^P
+    of the corpus per bucket — instead of the full cross product."""
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
+    udf = _bucket_udf(n_planes, n_tables, seed, dim)
+
+    e = embeddings.select("vec_id", F.col("embedding").alias("ve"))
+    q = queries.select("query_id", F.col("embedding").alias("qe"))
+    e_x = (e.withColumn("bkt", udf(F.col("ve")))
+           .select("vec_id", "ve",
+                   F.posexplode("bkt").alias("t", "bucket")))
+    q_x = (q.withColumn("bkt", udf(F.col("qe")))
+           .select("query_id", "qe",
+                   F.posexplode("bkt").alias("t", "bucket")))
+    cand = (e_x.join(F.broadcast(q_x), on=["t", "bucket"])
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .dropDuplicates(["query_id", "vec_id"]))
+    scored = cand.withColumn("cosine", F.round(_cosine("qe", "ve"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))

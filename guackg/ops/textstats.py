@@ -1,0 +1,87 @@
+"""Text-analysis operators over a documents table — the training-data
+pipeline toolkit (language-ID, quality scoring, token counting,
+fingerprinting). All pure built-in expressions: whole-stage codegen,
+zero Python. Each has an exact DuckDB-SQL oracle in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# stopword lexicons for the n-gram-free language heuristic
+_EN = ["the", "and", "of", "to", "in", "is", "for"]
+_DE = ["der", "die", "und", "das", "ist", "nicht", "mit"]
+_FR = ["le", "la", "et", "les", "des", "est", "dans"]
+
+
+def _count_words(col: str, words: list[str]) -> F.Column:
+    """Occurrences of any lexicon word, word-bounded, case-insensitive.
+    regexp_count is JVM-side; one regex per lexicon."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(F.col(col)), F.lit(pat))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language guess (the DocumentType-guesser analog,
+    /root/reference/pkg/handler/processor/guesser/guesser.go:25-51:
+    registry of cheap sniffs, first confident hit wins)."""
+    en, de, fr = (_count_words(text_col, w) for w in (_EN, _DE, _FR))
+    guess = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"), de.alias("de_hits"), fr.alias("fr_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality features + composite
+    score — the C4-style quality-filter shape."""
+    length = F.length(F.col(text_col))
+    n_tokens = F.size(F.split(F.col(text_col), r"\s+"))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    n_stop = _count_words(text_col, _EN)
+    punct_ratio = F.round(n_punct / F.greatest(length, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_word_len = F.round(
+        (length - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 6)
+    score = F.round(
+        F.when(length < 50, 0.0).otherwise(1.0)
+        * (1.0 - F.least(punct_ratio * 4, F.lit(1.0)))
+        * F.least(stop_ratio * 5 + 0.2, F.lit(1.0)), 6)
+    return docs.select(
+        "doc_id", length.alias("n_chars_calc"), n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"), score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (regex word pieces:
+    letter runs, digit runs, single punctuation)."""
+    ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe_ish = F.regexp_count(
+        F.col(text_col), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_ish.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (content identity — the HasSBOM sha256-of-blob analog,
+    /root/reference/pkg/ingestor/parser/common/helpers.go:110-123)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.sha2(norm, 256).alias("fingerprint_sha256"),
+    )

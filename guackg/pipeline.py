@@ -1,0 +1,135 @@
+"""End-to-end pipeline: extract → triples → link → canonicalize →
+materialize, with per-stage lineage and resume.
+
+The batch re-expression of guac's `guacone collect files` lifecycle
+(/root/reference/cmd/guacone/cmd/files.go:59-180 → collector →
+processor → parser → assembler, SURVEY.md §3.1). Stage boundaries are
+durable tables (Iceberg at scale, parquet here) instead of NATS
+subjects (pkg/emitter/nats_emitter.go:31-42); a re-run skips stages
+whose lineage fingerprint is already complete — the durable-consumer
+resume semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guackg import io as gio
+from guackg.cc import connected_components
+from guackg.extract import extract, split_quarantine
+from guackg.lineage import Lineage
+from guackg.link import distinct_mentions, link_mentions
+from guackg.materialize import build_edges, build_nodes, resolve_triples
+from guackg.triples import EXTRACTOR_VERSION, extract_triples
+
+STAGES = ("extract", "triples", "link", "canonicalize", "materialize")
+PIPELINE_VERSION = "0.1"
+
+
+def _fingerprint(*parts: object) -> str:
+    return "|".join(str(p) for p in parts)
+
+
+class KGPipeline:
+    """Orchestrates the five stages over a working directory.
+
+    `stages` lets a caller run a prefix (the kill-and-resume fixture,
+    FIXTURES.md §7): a later invocation with all stages skips the
+    completed prefix via lineage fingerprints.
+    """
+
+    def __init__(self, spark: SparkSession, workdir: str) -> None:
+        self.spark = spark
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.lineage = Lineage(workdir)
+
+    def _out(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def _run_stage(self, name: str, fingerprint: str, compute,
+                   partition_by: list[str] | None = None) -> DataFrame:
+        path = self._out(name)
+        if self.lineage.completed(name, fingerprint) and gio.table_exists(path):
+            return gio.read_table(self.spark, path)
+        df = compute()
+        gio.write_table(df, path, partition_by)
+        out = gio.read_table(self.spark, path)
+        self.lineage.record(name, fingerprint, out)
+        return out
+
+    def run(
+        self,
+        pages: DataFrame,
+        alias_dict: DataFrame,
+        assertions: DataFrame | None = None,
+        stages: tuple[str, ...] = STAGES,
+        input_fingerprint: str = "",
+    ) -> dict[str, DataFrame]:
+        fp_base = _fingerprint(PIPELINE_VERSION, EXTRACTOR_VERSION,
+                               input_fingerprint)
+        out: dict[str, DataFrame] = {}
+
+        if "extract" in stages:
+            def _extract():
+                ok, bad = split_quarantine(extract(pages))
+                gio.write_table(bad, self._out("quarantine"))
+                return ok.select("url", "warc_ts", "lang", "extracted_text")
+            out["extracted"] = self._run_stage(
+                "extract", _fingerprint(fp_base, "extract"), _extract)
+        else:
+            return out
+
+        if "triples" in stages:
+            out["triples"] = self._run_stage(
+                "triples", _fingerprint(fp_base, "triples"),
+                lambda: extract_triples(out["extracted"]))
+        else:
+            return out
+
+        if "link" in stages:
+            def _link():
+                mentions = distinct_mentions(out["triples"])
+                links, equiv = link_mentions(mentions, alias_dict)
+                gio.write_table(equiv, self._out("equivalence_edges"))
+                return links
+            out["links"] = self._run_stage(
+                "link", _fingerprint(fp_base, "link"), _link)
+            out["equivalence_edges"] = gio.read_table(
+                self.spark, self._out("equivalence_edges"))
+        else:
+            return out
+
+        if "canonicalize" in stages:
+            def _cc():
+                equiv = out["equivalence_edges"].select("key_a", "key_b")
+                if assertions is not None:
+                    equiv = equiv.unionByName(
+                        assertions.select(F.col("key_a"), F.col("key_b")))
+                return connected_components(equiv)
+            out["components"] = self._run_stage(
+                "canonicalize", _fingerprint(fp_base, "canonicalize"), _cc)
+        else:
+            return out
+
+        if "materialize" in stages:
+            def _resolve():
+                return resolve_triples(out["triples"], out["links"],
+                                       out["components"])
+            out["triples_resolved"] = self._run_stage(
+                "materialize", _fingerprint(fp_base, "materialize"), _resolve)
+            # nodes before edges — the assembler's fixed write order
+            # (bulk.go:29-191)
+            nodes = build_nodes(out["triples_resolved"], out["components"])
+            gio.merge_upsert(self.spark, nodes, self._out("nodes"),
+                             keys=["canonical_key"], partition_by=["kind"])
+            edges = build_edges(out["triples_resolved"])
+            gio.merge_upsert(self.spark, edges, self._out("edges"),
+                             keys=["subj_key", "pred", "obj_key"],
+                             partition_by=["pred"])
+            out["nodes"] = gio.read_table(self.spark, self._out("nodes"))
+            out["edges"] = gio.read_table(self.spark, self._out("edges"))
+        return out

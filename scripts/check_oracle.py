@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on
+DuckDB over the same parquet tables, compare row count + column set +
+order-insensitive value hash. Usage:
+
+    python scripts/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+    return hashlib.sha256(
+        df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from guackg.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]",
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = normalize(fn(spark, sf_dir).toPandas())
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "WEAK-OK" if len(got) >= 0 else "WEAK-FAIL"
+            print(f"{status} {name}: rows={len(got)} (no oracle)")
+            n_weak += 1
+            continue
+        try:
+            want = normalize(con.execute(oracles[name]).df())
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(got) != len(want):
+            problems.append(f"rows {len(got)} != {len(want)}")
+        if sorted(got.columns) != sorted(want.columns):
+            problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
+        elif value_hash(got) != value_hash(want):
+            problems.append("value hash mismatch")
+            diff = got.compare(want) if len(got) == len(want) else None
+            if diff is not None and not diff.empty:
+                problems.append(f"first diffs:\n{diff.head(3)}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"OK   {name}: rows={len(got)}")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_weak} weak (rows-only), {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Query-layer tests: neighbors / closure / BFS path / toposort
+(SURVEY §2.5, §2.9) over a small known graph."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from guackg.graph import (bfs_path, find_entities, neighbors,
+                          reachable_from, toposort_levels)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [
+        ("a", "founded_by", "b"),
+        ("b", "works_for", "c"),
+        ("c", "located_in", "d"),
+        ("d", "located_in", "e"),
+        ("x", "owns", "a"),
+        ("c", "owns", "f"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj_key string, pred string, obj_key string")
+
+
+def test_neighbors_directions_and_pred_filter(edges):
+    both = neighbors(edges, "c")
+    got = {(r.neighbor_key, r.direction) for r in both.collect()}
+    assert got == {("d", "out"), ("f", "out"), ("b", "in")}
+    only_owns = neighbors(edges, "c", preds=["owns"])
+    assert {r.neighbor_key for r in only_owns.collect()} == {"f"}
+
+
+def test_reachable_from_depth(edges):
+    r = reachable_from(edges, ["a"], max_depth=2)
+    got = {(x.key, x.depth) for x in r.collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 2)}
+    r3 = reachable_from(edges, ["a"], max_depth=10)
+    assert {x.key for x in r3.collect()} == {"a", "b", "c", "d", "e", "f"}
+
+
+def test_bfs_path(edges):
+    assert bfs_path(edges, "a", "e") == ["a", "b", "c", "d", "e"]
+    assert bfs_path(edges, "e", "a") is None
+    assert bfs_path(edges, "a", "a") == ["a"]
+
+
+def test_toposort_levels_dag_and_cycle(spark, edges):
+    levels = {r.key: r.level for r in toposort_levels(edges).collect()}
+    assert levels["x"] == 0
+    assert levels["a"] == 1
+    assert levels["e"] == 5
+    # cycle detection
+    cyc = spark.createDataFrame(
+        [("p", "r", "q"), ("q", "r", "p"), ("p", "r", "s")],
+        "subj_key string, pred string, obj_key string")
+    lv = {r.key: r.level for r in toposort_levels(cyc).collect()}
+    assert lv["p"] == -1 and lv["q"] == -1
+
+
+def test_find_entities_nullable_spec(spark):
+    nodes = spark.createDataFrame(
+        [(1, "person", "ent:person/ada"), (2, "org", "ent:org/acme")],
+        "entity_id long, kind string, canonical_key string")
+    assert find_entities(nodes).count() == 2
+    assert find_entities(nodes, kind="org").count() == 1
+    assert find_entities(nodes, key_prefix="ent:person/").count() == 1

@@ -1,0 +1,72 @@
+"""Stage 3 tests: normalization parity (JVM vs Python), broadcast
+alias-dict linking, MinHash-LSH typo recovery, guac-key fallback."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from guackg.link import (distinct_mentions, link_mentions,
+                         normalize_surface_col)
+from guackg.testing.gen import get_ctx
+from guackg.vocab import normalize_surface
+
+
+def test_normalize_parity_jvm_vs_python(spark):
+    samples = ["U.S.", "The United States", "Dr. Ada Lovelace",
+               "Acme  Corp.", "  Globex   Corporation ", "Widget X's"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r.n for r in
+           df.select(normalize_surface_col(F.col("s")).alias("n")).collect()]
+    assert got == [normalize_surface(s) for s in samples]
+
+
+def test_dict_and_fallback_linking(spark, alias_df):
+    mentions = spark.createDataFrame(
+        [("ada lovelace",), ("acme industries",), ("zzz unknown thing",)],
+        "norm string")
+    links, equiv = link_mentions(mentions, alias_df)
+    got = {r.norm: (r.canonical_key, r.method) for r in links.collect()}
+    assert got["ada lovelace"] == ("ent:person/ada_lovelace", "dict")
+    assert got["acme industries"] == ("ent:org/acme_industries", "dict")
+    assert got["zzz unknown thing"] == ("ent:guac/zzz unknown thing",
+                                        "fallback")
+    # equivalence edges only for real links
+    eq = {r.key_a for r in equiv.collect()}
+    assert "sfc:ada lovelace" in eq
+    assert not any("zzz" in k for k in eq)
+
+
+def test_lsh_recovers_typos(spark, alias_df):
+    """Every planted typo surface must link to its true entity via the
+    LSH pass (the linker-recall fixture, FIXTURES.md §2)."""
+    ctx = get_ctx()
+    typos = list(ctx.typo_by_ent.values())
+    assert len(typos) >= 30
+    mentions = spark.createDataFrame(
+        pd.DataFrame({"norm": [normalize_surface(t["surface"])
+                               for t in typos]}))
+    links, _ = link_mentions(mentions, alias_df)
+    got = {r.norm: (r.canonical_key, r.method) for r in links.collect()}
+    misses = [
+        t for t in typos
+        if got[normalize_surface(t["surface"])][0] != t["canonical_key"]
+    ]
+    assert len(misses) <= len(typos) * 0.05, misses[:5]
+    assert all(got[normalize_surface(t["surface"])][1] == "lsh"
+               for t in typos if t not in misses)
+
+
+def test_distinct_mentions_collapses_duplicates(spark):
+    triples = spark.createDataFrame(
+        [("Ada Lovelace", "x", "U.S."), ("ada lovelace", "x", "The U.S.")],
+        "subj_surface string, pred string, obj_surface string")
+    m = distinct_mentions(triples)
+    assert sorted(r.norm for r in m.collect()) == ["ada lovelace", "us"]
+
+
+def test_no_python_in_link_plan(spark, alias_df):
+    """Linking is 100% JVM-side: no Python eval nodes of any kind."""
+    mentions = spark.createDataFrame([("ada lovelace",)], "norm string")
+    links, _ = link_mentions(mentions, alias_df)
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -1,0 +1,64 @@
+"""Stage 2 tests: the triple-extraction UDTF — grammar, inverse
+predicate direction normalization (the DEPENDS_ON/DEPENDENCY_OF flip,
+parse_spdx.go:263-304), lang filtering, and surface-level recall vs
+planted sentences."""
+
+from pyspark.sql import functions as F
+
+from guackg.extract import extract
+from guackg.triples import extract_triples, extract_triples_from_text
+
+
+def test_grammar_basics():
+    assert extract_triples_from_text(
+        "Ada Lovelace works for Acme Industries.") == \
+        [("Ada Lovelace", "works_for", "Acme Industries")]
+    # inverse surface swaps direction
+    assert extract_triples_from_text(
+        "Widget X was acquired by Globex Corporation.") == \
+        [("Globex Corporation", "acquired", "Widget X")]
+    # newline bounds the subject span
+    assert extract_triples_from_text(
+        "Home About Contact\nGrace Hopper studied at Initech Labs.") == \
+        [("Grace Hopper", "studied_at", "Initech Labs")]
+    # lowercase subject → no emission
+    assert extract_triples_from_text("the company acquired Widget X.") == []
+    # no predicate → no emission
+    assert extract_triples_from_text("Ada Lovelace greeted Grace Hopper.") == []
+
+
+def test_multi_sentence_line():
+    got = extract_triples_from_text(
+        "Ada Lovelace wrote Compiler X. Grace Hopper leads Initech Labs.")
+    assert got == [("Ada Lovelace", "wrote", "Compiler X"),
+                   ("Grace Hopper", "leads", "Initech Labs")]
+
+
+def test_spark_triples_match_pure_python(spark, corpus, pages_df):
+    """The distributed UDTF must emit exactly the pure-Python triple
+    set (same grammar, Arrow batching must not change results)."""
+    extracted = extract(pages_df)
+    got = extract_triples(extracted)
+    rows = got.select("url", "subj_surface", "pred", "obj_surface").collect()
+    got_set = {(r.url, r.subj_surface, r.pred, r.obj_surface) for r in rows}
+
+    expect = set()
+    for _, row in corpus["pages"].iterrows():
+        if row.lang != "en":
+            continue
+        for s, p, o in extract_triples_from_text(row.text):
+            expect.add((row.url, s, p, o))
+    assert got_set == expect
+    assert len(rows) > 0
+
+
+def test_non_en_pages_skipped(spark, pages_df):
+    got = extract_triples(extract(pages_df))
+    joined = got.join(pages_df.select("url", "lang"), on="url")
+    assert joined.filter(F.col("lang") != "en").count() == 0
+
+
+def test_lineage_columns_stamped(spark, pages_df):
+    got = extract_triples(extract(pages_df)).limit(5).collect()
+    for r in got:
+        assert r.url and r.warc_ts is not None and r.extractor
