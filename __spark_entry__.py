@@ -102,6 +102,40 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    from guackg.ops.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    from guackg.ops.similarity import embedding_near_dup_pairs
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_emb_near_dup_lsh(spark, sf_dir):
+    from guackg.ops.similarity import embedding_near_dup_lsh
+    return embedding_near_dup_lsh(_emb(spark, sf_dir), threshold=0.4,
+                                  n_planes=4, n_tables=16)
+
+
+def _q_multimodal_metadata(spark, sf_dir):
+    from guackg.ops.multimodal import as_media_table, media_metadata
+    return media_metadata(as_media_table(_docs(spark, sf_dir))) \
+        .orderBy("media_id")
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    from guackg.ops.multimodal import as_media_table, decode_media
+    return decode_media(as_media_table(_docs(spark, sf_dir))) \
+        .orderBy("media_id")
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    from guackg.ops.multimodal import as_media_table, sample_frames
+    return sample_frames(as_media_table(_docs(spark, sf_dir))) \
+        .orderBy("media_id", "frame_idx")
+
+
 def _q_langid(spark, sf_dir):
     from guackg.ops.textstats import language_id
     return language_id(_docs(spark, sf_dir))
@@ -168,6 +202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
+        "emb_near_dup_pairs": _q_emb_near_dup,
+        "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frames": _q_multimodal_frames,
         "text_language_id": _q_langid,
         "text_quality_score": _q_quality,
         "text_token_counts": _q_tokens,
@@ -320,6 +360,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, round(j, 6) AS jaccard
             FROM pairs WHERE round(j, 6) >= 0.9
         """,
+        "dedup_ngram_jaccard_pairs": r"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 3 + 2),
+                           i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)), '\s+') AS w
+                      FROM documents)
+                WHERE len(w) >= 3
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                       AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, round(j, 6) AS jaccard
+            FROM pairs WHERE round(j, 6) >= 0.8
+        """,
+        "emb_near_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                         b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                        b.embedding::DOUBLE[]), 6) >= 0.4
+        """,
+        "multimodal_metadata": """
+            WITH media AS (
+                -- payload = magic || text; DuckDB sha256(varchar)
+                -- hashes the UTF-8 bytes == Spark sha2(binary payload)
+                SELECT doc_id AS media_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS kind,
+                       CASE doc_id % 3 WHEN 0 THEN 'IMG0'
+                                       WHEN 1 THEN 'AUD0'
+                                       ELSE 'VID0' END || text AS payload
+                FROM documents
+            )
+            SELECT media_id, kind,
+                   CASE kind WHEN 'image' THEN 'img'
+                             WHEN 'audio' THEN 'aud'
+                             ELSE 'vid' END AS format,
+                   octet_length(encode(payload)) AS n_bytes,
+                   sha256(payload) AS payload_sha256
+            FROM media ORDER BY media_id
+        """,
         "text_language_id": rf"""
             SELECT doc_id,
                    len(regexp_extract_all(lower(text), '\b({en})\b'))
@@ -410,6 +498,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # no oracle (not SQL-expressible, rows-only check):
         #   dedup_minhash_lsh_pairs, dedup_simhash_pairs,
-        #   ann_lsh_cosine_topk — probabilistic candidate generation;
-        #   exact behavior pinned by pytest (tests/test_ops.py).
+        #   ann_lsh_cosine_topk, emb_near_dup_lsh_pairs — probabilistic
+        #   candidate generation; exact behavior pinned by pytest
+        #   (tests/test_ops.py).
+        #   multimodal_decode, multimodal_frames — DECODE-STUB byte
+        #   histograms / blob chunking (pinned by golden pytest in
+        #   tests/test_multimodal.py; blob-valued columns don't
+        #   round-trip the driver's value hash).
     }

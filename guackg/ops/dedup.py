@@ -59,6 +59,46 @@ def jaccard_word_pairs(docs: DataFrame, threshold: float = 0.8,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def _ngram_set(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles (whitespace tokens, lowercase).
+    Pure SQL: slice the token array at each start offset; empty set for
+    docs shorter than n tokens."""
+    ws = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"case when size({ws}) >= {n} then array_distinct(transform("
+        f"sequence(1, size({ws}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({ws}, i, {n})))) "
+        f"else array() end")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.8,
+                        text_col: str = "text") -> DataFrame:
+    """All doc pairs with word-n-gram-shingle Jaccard ≥ threshold —
+    the order-sensitive near-dup variant (word sets miss reorderings;
+    shingles catch them). Same explode/equi-join/count shape as
+    `jaccard_word_pairs`: shuffle keys are shingles, which are far
+    less skewed than single hot words — this is the exact-tier anchor
+    for `minhash_lsh_pairs` at scale."""
+    shingles = (docs
+                .select("doc_id",
+                        F.explode(_ngram_set(text_col, n)).alias("sh"),
+                        F.size(_ngram_set(text_col, n)).alias("set_size")))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    common = (a.join(b, on="sh")
+              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"),
+                       F.col("a.set_size").alias("size_a"),
+                       F.col("b.set_size").alias("size_b"))
+              .agg(F.count("*").alias("n_common")))
+    jac = F.col("n_common") / \
+        (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (common.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       n_hashes: int = 32, n_bands: int = 16,
                       threshold: float = 0.5) -> DataFrame:

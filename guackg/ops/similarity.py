@@ -70,6 +70,65 @@ def _bucket_udf(n_planes: int, n_tables: int, seed: int, dim: int):
     return buckets
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame,
+                             threshold: float = 0.95) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (the correctness
+    anchor; oracle: DuckDB list_cosine_similarity self-join). All
+    (a, b) with a < b and cosine ≥ threshold.
+
+    Pre-normalizes once so the pair predicate is a plain dot product;
+    at this exact tier the join is the O(n²) cross — the scale path is
+    `embedding_near_dup_lsh` below."""
+    norm = F.expr(_NORM.format(a="embedding"))
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("ve"),
+        norm.alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(
+        "(" + _DOT.format(a="a.ve", b="b.ve") + ") / "
+        "nullif(a.nrm * b.nrm, 0.0)")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    "cosine"))
+
+
+def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
+                           n_planes: int = 8, n_tables: int = 8,
+                           seed: int = 42,
+                           dim: int | None = None) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH candidate generation +
+    exact cosine verify — the 100-TB path: the self-join shuffles on
+    (table, bucket) keys (~corpus/2^P rows per bucket) instead of the
+    O(n²) cross product. Recall rises with n_tables; every surviving
+    pair is exact-verified, so precision is 1.0 vs the exact op."""
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
+    udf = _bucket_udf(n_planes, n_tables, seed, dim)
+    e = (embeddings
+         .select("vec_id",
+                 F.expr("transform(embedding, x -> cast(x as double))")
+                 .alias("ve"))
+         .withColumn("nrm", F.expr(_NORM.format(a="ve")))
+         .withColumn("bkt", udf(F.col("ve")))
+         .select("vec_id", "ve", "nrm",
+                 F.posexplode("bkt").alias("t", "bucket")))
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(
+        "(" + _DOT.format(a="a.ve", b="b.ve") + ") / "
+        "nullif(a.nrm * b.nrm, 0.0)")
+    return (a.join(b, on=["t", "bucket"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"]))
+
+
 def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                     k: int = 5, n_planes: int = 12,
                     n_tables: int = 4, seed: int = 42,
