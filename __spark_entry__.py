@@ -183,6 +183,62 @@ def _q_ann_lsh(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def _bipartite_edges(spark, sf_dir):
+    """Customer↔supplier contact graph derived from lineitem/orders:
+    an edge per distinct (customer, supplier) pair that ever traded,
+    both directions (undirected reachability)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select(F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+                     F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"))
+             .distinct())
+    fwd = pairs.select(F.col("c").alias("subj_key"),
+                       F.lit("traded_with").alias("pred"),
+                       F.col("s").alias("obj_key"))
+    return fwd.unionByName(
+        pairs.select(F.col("s").alias("subj_key"),
+                     F.lit("traded_with").alias("pred"),
+                     F.col("c").alias("obj_key")))
+
+
+def _q_graph_reachability(spark, sf_dir):
+    """BFS closure (key, min-hop depth) from customer c:1 over the
+    trade graph, ≤ 3 hops — the reference's bfsFromProduct shape
+    (SURVEY G4) with a recursive-CTE oracle."""
+    from guackg.graph import reachable_from
+    edges = _bipartite_edges(spark, sf_dir)
+    return reachable_from(edges, ["c:1"], max_depth=3) \
+        .orderBy("depth", "key")
+
+
+def _q_graph_toposort(spark, sf_dir):
+    """Kahn levels over the layered part→supplier→nation→region DAG
+    (SURVEY G6). Level == longest path from a root, which for this
+    layered graph is expressible in plain SQL — the oracle."""
+    from guackg.graph import toposort_levels
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ps = (li.select(F.concat(F.lit("p:"), F.col("l_partkey")).alias("subj_key"),
+                    F.concat(F.lit("s:"), F.col("l_suppkey")).alias("obj_key"))
+          .distinct())
+    sn = (s.join(li.select("l_suppkey").distinct(),
+                 s.s_suppkey == F.col("l_suppkey"))
+          .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("subj_key"),
+                  F.concat(F.lit("n:"), F.col("s_nationkey")).alias("obj_key"))
+          .distinct())
+    nr = (n.join(sn.select(F.col("obj_key").alias("nk")).distinct(),
+                 F.concat(F.lit("n:"), n.n_nationkey) == F.col("nk"))
+          .select(F.concat(F.lit("n:"), F.col("n_nationkey")).alias("subj_key"),
+                  F.concat(F.lit("r:"), F.col("n_regionkey")).alias("obj_key"))
+          .distinct())
+    edges = (ps.unionByName(sn).unionByName(nr)
+             .withColumn("pred", F.lit("feeds")))
+    return toposort_levels(edges).orderBy("level", "key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from guackg.ops import relational as R
     return {
@@ -197,6 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_balance": R.running_account_balance,
         "events_tumbling_counts": R.events_tumbling_counts,
         "event_sessionization": R.event_sessionization,
+        "graph_reachability": _q_graph_reachability,
+        "graph_toposort_levels": _q_graph_toposort,
         # training-data ops: dedup / similarity / text analysis
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -334,6 +392,40 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM sess GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "graph_reachability": """
+            WITH RECURSIVE e AS (
+                SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+                UNION ALL
+                SELECT 's:' || l_suppkey, 'c:' || o_custkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT 'c:1' AS key, 0 AS depth
+                UNION
+                SELECT e.dst, r.depth + 1
+                FROM r JOIN e ON r.key = e.src
+                WHERE r.depth < 3
+            )
+            SELECT key, CAST(min(depth) AS INT) AS depth
+            FROM r GROUP BY key
+            ORDER BY depth, key
+        """,
+        "graph_toposort_levels": """
+            WITH sup AS (SELECT DISTINCT l_suppkey FROM lineitem),
+                 nat AS (SELECT DISTINCT s_nationkey
+                         FROM supplier JOIN sup ON s_suppkey = l_suppkey),
+                 reg AS (SELECT DISTINCT n_regionkey
+                         FROM nation JOIN nat ON n_nationkey = s_nationkey)
+            SELECT key, level FROM (
+                SELECT DISTINCT 'p:' || l_partkey AS key, 0 AS level
+                FROM lineitem
+                UNION ALL SELECT 's:' || l_suppkey, 1 FROM sup
+                UNION ALL SELECT 'n:' || s_nationkey, 2 FROM nat
+                UNION ALL SELECT 'r:' || n_regionkey, 3 FROM reg)
+            ORDER BY level, key
         """,
         "dedup_exact": """
             SELECT doc_id, content_hash, dup_count FROM (

@@ -37,10 +37,26 @@ def main() -> None:
     sf = sf_of(sf_dir)
     n_pages = int(round(1000 * sf / 0.001))
 
+    os.environ.setdefault("GUACKG_DRIVER_MEM", "32g")
     from guackg.session import get_spark
-    spark = get_spark("guackg-bench", master=f"local[{cpus}]",
+    # GUACKG_MASTER may override with local-cluster[N,cores,mem] —
+    # separate executor JVMs, the honest N-executor stand-in
+    master = os.environ.get("GUACKG_MASTER", f"local[{cpus}]")
+    spark = get_spark("guackg-bench", master=master,
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
+    if master.startswith("local-cluster"):
+        import zipfile
+        repo = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(tempfile.mkdtemp(prefix="guackg_zip_"),
+                             "guackg.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(os.path.join(repo, "guackg")):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, repo))
+        spark.sparkContext.addPyFile(zpath)
 
     from guackg.pipeline import KGPipeline
     from guackg.testing.gen import generate_corpus, spark_generate_pages
@@ -50,12 +66,20 @@ def main() -> None:
     assertions = spark.createDataFrame(fixtures["assertions"])
 
     # ---- headline: KG pipeline end-to-end (incl. materialized writes)
-    workdir = tempfile.mkdtemp(prefix="guackg_bench_")
+    # workdir on the RAM disk when present: the bench measures the
+    # engine, not this sandbox's virtio/ext4 journal (a cluster's
+    # scratch is HDFS/object-store with real aggregate bandwidth)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="guackg_bench_", dir=scratch)
     try:
-        pages = spark_generate_pages(spark, n_pages,
-                                     partitions=max(cpus * 2, 16))
-        pages = pages.localCheckpoint()  # materialize input: bench the
-        # pipeline, not the synthetic generator
+        # materialize the input as a parquet table (the input_hint
+        # shape: the pipeline scans a table, it doesn't hold the corpus
+        # in block-manager memory) — generation is NOT benched
+        pages_path = os.path.join(workdir, "pages")
+        spark_generate_pages(spark, n_pages,
+                             partitions=max(cpus * 2, 16)) \
+            .write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
         n_input = pages.count()
 
         t0 = time.time()
@@ -65,16 +89,21 @@ def main() -> None:
         n_triples = out["triples"].count()
         n_edges = out["edges"].count()
         elapsed = time.time() - t0
+        stage_secs = dict(pipe.stage_secs)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
     # ---- headline operator queries over the driver tables
+    # (skippable for scaling repeats: only the pipeline feeds the
+    # efficiency metric)
     import __spark_entry__ as E
     qs = E.queries()
     headline = ["q1_pricing_summary", "q5_local_supplier_volume",
                 "window_top_customers_per_nation", "dedup_exact",
                 "dedup_minhash_lsh_pairs", "text_quality_score",
                 "ann_cosine_topk"]
+    if os.environ.get("GUACKG_BENCH_QUERIES", "1") == "0":
+        headline = []
     q_secs: dict[str, float] = {}
     for name in headline:
         t0 = time.time()
@@ -93,6 +122,7 @@ def main() -> None:
         "edges": n_edges,
         "pages_per_sec": round(n_input / elapsed, 1),
         "cpus": cpus,
+        "stage_secs": stage_secs,
     }))
     spark.stop()
 

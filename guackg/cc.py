@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 25
 
+# Below this edge count the equivalence graph is collected and solved
+# with driver-side union-find — the same adaptive small-side rule as a
+# broadcast join (Spark's autoBroadcastJoinThreshold): a graph that
+# fits on the driver costs one collect instead of O(log n) shuffle
+# iterations. The star iterations remain the ≥10^6-edge path.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect strictly-larger neighbors to
@@ -67,10 +74,36 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph path: collect edges, union-find on the driver,
+    min-string representative — bit-identical output to the star
+    iterations."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.toLocalIterator():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # min-string wins ⇒ canon == lexicographic component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(k, find(k)) for k in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "member_key string, canon_key string")
+
+
 def connected_components(
     equivalence_edges: DataFrame,
     key_a: str = "key_a",
     key_b: str = "key_b",
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """equivalence_edges → components(member_key, canon_key), one row
     per node that appears in any edge (singletons are implicit: a key
@@ -83,6 +116,8 @@ def connected_components(
              .localCheckpoint())
 
     prev = _checksum(edges)
+    if prev[0] <= driver_max_edges:
+        return _driver_union_find(edges)
     for _ in range(MAX_ITERATIONS):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         cur = _checksum(edges)

@@ -89,14 +89,17 @@ def extract(pages: DataFrame) -> DataFrame:
     return pages.withColumn("extracted_text", _extract_udf(F.col("html")))
 
 
+def valid_col() -> F.Column:
+    """Validity predicate over extracted_text (validateFormat analog,
+    process.go:182-207): non-null, non-empty, no decode replacement
+    character."""
+    return (F.col("extracted_text").isNotNull()
+            & (F.length("extracted_text") > 0)
+            & ~F.col("extracted_text").contains("�"))
+
+
 def split_quarantine(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Valid/invalid split (analog of validateFormat quarantine,
-    process.go:182-207). Invalid = null/empty extraction or a decode
-    replacement character, routed to a side table — never a per-row
-    exception."""
-    bad = (
-        F.col("extracted_text").isNull()
-        | (F.length("extracted_text") == 0)
-        | F.col("extracted_text").contains("�")
-    )
-    return extracted.filter(~bad), extracted.filter(bad)
+    """Valid/invalid split: invalid rows route to a side table — never
+    a per-row exception."""
+    ok = valid_col()
+    return extracted.filter(ok), extracted.filter(~ok)

@@ -59,12 +59,16 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     key (guac's find-or-create trie upsert, pkg.go:344-434; on Iceberg:
     MERGE INTO target USING df ON keys WHEN MATCHED UPDATE * WHEN NOT
     MATCHED INSERT *)."""
+    if not table_exists(path):
+        # first write: callers supply key-unique frames (build_nodes /
+        # build_edges end in a keyed dedup/agg) — skip the merge window
+        write_table(df, path, partition_by)
+        return
     new = df.withColumn("__prio", F.lit(0))
-    if table_exists(path):
-        old = read_table(spark, path).withColumn("__prio", F.lit(1))
-        new = new.unionByName(old)
+    old = read_table(spark, path).withColumn("__prio", F.lit(1))
     w = Window.partitionBy(*keys).orderBy("__prio")
-    merged = (new.withColumn("__rn", F.row_number().over(w))
+    merged = (new.unionByName(old)
+              .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1)
               .drop("__prio", "__rn"))
     write_table(merged, path, partition_by)

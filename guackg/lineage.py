@@ -47,21 +47,40 @@ class Lineage:
         return rec.get("status") == "complete" and \
             rec.get("fingerprint") == fingerprint
 
-    def record(self, stage: str, fingerprint: str, df: DataFrame) -> dict:
+    def record(self, stage: str, fingerprint: str, df: DataFrame,
+               table_path: str | None = None) -> dict:
         """Write per-partition counters + the completion record.
-        Called AFTER the stage output is durably written."""
-        parts = (df.groupBy(F.spark_partition_id().alias("partition_id"))
-                 .agg(F.count("*").alias("rows")).collect())
+        Called AFTER the stage output is durably written.
+
+        When the stage output is a parquet table, per-partition row
+        counts come from the parquet FOOTERS (driver-side metadata
+        read, no Spark job) — the Iceberg analog is the manifest's
+        per-file record counts. Falls back to a Spark aggregation for
+        non-tabular outputs."""
+        parts: list[dict]
+        if table_path and os.path.isdir(table_path):
+            import pyarrow.parquet as pq
+            files = sorted(
+                os.path.join(r, fn)
+                for r, _, fs in os.walk(table_path) for fn in fs
+                if fn.endswith(".parquet"))
+            parts = [{"partition_id": i,
+                      "rows": pq.read_metadata(f).num_rows}
+                     for i, f in enumerate(files)]
+        else:
+            rows = (df.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(F.count("*").alias("rows")).collect())
+            parts = sorted(
+                [{"partition_id": int(r["partition_id"]),
+                  "rows": int(r["rows"])} for r in rows],
+                key=lambda d: d["partition_id"])
         rec = {
             "stage": stage,
             "fingerprint": fingerprint,
             "status": "complete",
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "partitions": sorted(
-                [{"partition_id": int(r["partition_id"]),
-                  "rows": int(r["rows"])} for r in parts],
-                key=lambda d: d["partition_id"]),
-            "total_rows": int(sum(r["rows"] for r in parts)),
+            "partitions": parts,
+            "total_rows": int(sum(p["rows"] for p in parts)),
         }
         tmp = self._path(stage) + ".tmp"
         with open(tmp, "w") as f:

@@ -111,57 +111,77 @@ def link_mentions(
 
     links resolves EVERY input norm (dict / lsh / fallback).
     """
+    # materialize the (small, deduped) mention set once: both the dict
+    # join and the fuzzy-path sizing action reuse it instead of
+    # re-running the upstream distinct shuffle
+    mentions = mentions.localCheckpoint()
     dict_hits = mentions.join(
         F.broadcast(alias_dict.withColumnRenamed("surface", "norm")),
         on="norm", how="left",
-    ).select("norm", "canonical_key")
+    ).select("norm", F.col("canonical_key").alias("dict_key"))
+    unmatched = dict_hits.filter(F.col("dict_key").isNull()).select("norm")
 
-    exact = dict_hits.filter(F.col("canonical_key").isNotNull()) \
-        .withColumn("method", F.lit("dict"))
-    unmatched = dict_hits.filter(F.col("canonical_key").isNull()).select("norm")
-
-    # --- MinHash-LSH fuzzy pass over the unmatched tail -------------------
-    left = _with_bands(unmatched, "norm")
-    dict_side = alias_dict.select(F.col("surface").alias("dnorm"),
-                                  "canonical_key")
-    right = _with_bands(dict_side.select("dnorm"), "dnorm") \
-        .join(F.broadcast(dict_side), on="dnorm")
-
-    # cap pathological buckets (logged by caller via lsh_bucket_stats)
-    w = Window.partitionBy("band_id", "band_hash").orderBy("dnorm")
-    right = right.withColumn("_rn", F.row_number().over(w)) \
-                 .filter(F.col("_rn") <= MAX_BUCKET).drop("_rn")
-
-    cand = (
-        left.alias("l").join(right.alias("r"), on=["band_id", "band_hash"])
-        .select(F.col("l.norm").alias("norm"), F.col("l._sh").alias("_sh"),
-                F.col("r.dnorm").alias("dnorm"), F.col("r._sh").alias("_dsh"),
-                F.col("r.canonical_key").alias("canonical_key"))
-        .dropDuplicates(["norm", "dnorm"])
-    )
     jac = F.size(F.array_intersect("_sh", "_dsh")) / \
         F.size(F.array_union("_sh", "_dsh"))
-    verified = cand.withColumn("jaccard", jac) \
+    dict_side = alias_dict.select(F.col("surface").alias("dnorm"),
+                                  "canonical_key")
+
+    # --- banded MinHash-LSH over the unmatched tail: band equi-join
+    # carries only keys; candidates verify with exact Jaccard. (A
+    # broadcast nested-loop variant was measured 5× slower even on a
+    # 21k-surface tail — |unmatched|×|dict| pairwise shingle Jaccards
+    # dwarf the banding's few tiny shuffles.)
+    left = _with_bands(unmatched, "norm")
+    right = _with_bands(dict_side.select("dnorm"), "dnorm") \
+        .join(F.broadcast(dict_side), on="dnorm")
+    # cap pathological buckets (logged via lsh_bucket_stats) — only
+    # worth a window shuffle when the dictionary could actually
+    # produce a bucket over the cap
+    if alias_dict.count() > MAX_BUCKET * 10:
+        w = Window.partitionBy("band_id", "band_hash").orderBy("dnorm")
+        right = right.withColumn("_rn", F.row_number().over(w)) \
+                     .filter(F.col("_rn") <= MAX_BUCKET).drop("_rn")
+    cand = (
+        left.alias("l").join(right.alias("r"),
+                             on=["band_id", "band_hash"])
+        .select(F.col("l.norm").alias("norm"),
+                F.col("l._sh").alias("_sh"),
+                F.col("r.dnorm").alias("dnorm"),
+                F.col("r._sh").alias("_dsh"),
+                F.col("r.canonical_key").alias("canonical_key"))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    # best candidate per unmatched surface; deterministic tie-break
+    )
+
+    # best candidate per surface; the window also collapses multi-band
+    # duplicates (ties on jaccard, tie-break dnorm — deterministic)
     w2 = Window.partitionBy("norm").orderBy(F.desc("jaccard"), F.asc("dnorm"))
-    fuzzy = verified.withColumn("_rn", F.row_number().over(w2)) \
+    fuzzy = cand.withColumn("_rn", F.row_number().over(w2)) \
         .filter(F.col("_rn") == 1) \
-        .select("norm", "canonical_key") \
-        .withColumn("method", F.lit("lsh"))
+        .select("norm", F.col("canonical_key").alias("lsh_key"))
 
-    fallback = unmatched.join(fuzzy.select("norm"), on="norm", how="left_anti") \
-        .withColumn("canonical_key",
-                    F.concat(F.lit("ent:guac/"), F.col("norm"))) \
-        .withColumn("method", F.lit("fallback"))
+    links = (dict_hits
+             .join(F.broadcast(fuzzy), on="norm", how="left")
+             .select(
+                 "norm",
+                 F.coalesce("dict_key", "lsh_key",
+                            F.concat(F.lit("ent:guac/"), F.col("norm")))
+                 .alias("canonical_key"),
+                 F.when(F.col("dict_key").isNotNull(), "dict")
+                 .when(F.col("lsh_key").isNotNull(), "lsh")
+                 .otherwise("fallback").alias("method")))
+    return links, equivalence_edges_from_links(links)
 
-    links = exact.unionByName(fuzzy).unionByName(fallback)
-    equivalence_edges = links.filter(F.col("method") != "fallback").select(
+
+def equivalence_edges_from_links(links: DataFrame) -> DataFrame:
+    """Equivalence edges are a pure projection of the links table —
+    callers that materialize links should derive the edges from the
+    written table instead of recomputing the linking DAG twice."""
+    return links.filter(F.col("method") != "fallback").select(
         surface_key_col(F.col("norm")).alias("key_a"),
         F.col("canonical_key").alias("key_b"),
         "method",
     )
-    return links, equivalence_edges
 
 
 def lsh_bucket_stats(alias_dict: DataFrame) -> DataFrame:

@@ -91,13 +91,14 @@ def build_nodes(resolved: DataFrame, components: DataFrame) -> DataFrame:
 
 
 def build_edges(resolved: DataFrame) -> DataFrame:
-    """Edge table with evidence rollup. Evidence dedup first on the
-    full property tuple (guac's exact-tuple duplicate rule,
-    isDependency.go:109-149), then algebraic aggregation."""
-    evidence = resolved.dropDuplicates(
-        ["url", "subj_key", "pred", "obj_key", "extractor"])
-    return (evidence.groupBy("subj_key", "pred", "obj_key")
-            .agg(F.count("*").alias("n_evidence"),
+    """Edge table with evidence rollup. Evidence identity is the full
+    property tuple (guac's exact-tuple duplicate rule,
+    isDependency.go:109-149): n_evidence counts DISTINCT
+    (url, extractor) witnesses per edge — one shuffle, with first/last
+    seen over all sightings (deterministic, unlike dedup-then-min
+    which keeps an arbitrary row's timestamp per duplicate tuple)."""
+    return (resolved.groupBy("subj_key", "pred", "obj_key")
+            .agg(F.countDistinct("url", "extractor").alias("n_evidence"),
                  F.min("warc_ts").alias("first_seen"),
                  F.max("warc_ts").alias("last_seen"))
             .select(F.xxhash64("subj_key").alias("src_id"),

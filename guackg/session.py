@@ -36,8 +36,44 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ~10-50 KB blob rows: 256-row batches keep Arrow buffers well
+        # under the G1 humongous-object threshold (4096-row batches of
+        # heavy rows measured 7× slower at 32 concurrent tasks — GC and
+        # kernel page-allocator storms)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # JVM↔Python worker transport over unix domain sockets —
+        # measurably less kernel overhead than loopback TCP at high
+        # worker counts (Spark 4 feature)
+        .config("spark.python.unix.domain.socket.enabled", "true")
+        # split scans small enough that every core gets tasks even on
+        # the few-hundred-MB intermediate tables of local benchmarks;
+        # on a real cluster raise toward the 128m default so task
+        # count tracks executor memory, not core starvation
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("GUACKG_MAX_PARTITION_BYTES", "16m"))
         .config("spark.driver.memory", os.environ.get("GUACKG_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # local / local-cluster hygiene: shuffle/spill on the RAM disk
+        # (ext4 journal churn from 32 concurrent shuffle writers shows
+        # up as kernel time), and GC threads capped so collections
+        # don't stall all task threads. A real cluster sets these per
+        # executor in spark-submit conf instead.
+        local_dir = os.environ.get("GUACKG_LOCAL_DIR")
+        if local_dir is None and os.path.isdir("/dev/shm"):
+            local_dir = "/dev/shm/spark-local"
+        if local_dir:
+            os.makedirs(local_dir, exist_ok=True)
+            builder = builder.config("spark.local.dir", local_dir)
+        gc_opts = "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
+        builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
+        if master.startswith("local-cluster"):
+            # multi-executor-JVM mode (the in-sandbox stand-in for a
+            # real N-executor cluster): each executor JVM gets its own
+            # python workers, Arrow exchange, and GC
+            builder = (builder
+                       .config("spark.executor.memory",
+                               os.environ.get("GUACKG_EXECUTOR_MEM", "8g"))
+                       .config("spark.executor.extraJavaOptions", gc_opts))
     return builder.getOrCreate()

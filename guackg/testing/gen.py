@@ -239,7 +239,10 @@ def gen_page(i: int, seed: int = SEED) -> dict:
     sents: list[str] = []
     golden: list[dict] = []
     if lang == "en":
-        for _ in range(rng.randint(3, 8)):
+        # 30-80 entity sentences / page ⇒ ~6-16 KB extracted text —
+        # Common-Crawl-realistic weight, so benchmark runs are
+        # compute-bound (scaling evidence) rather than latency-bound
+        for _ in range(rng.randint(30, 80)):
             if rng.random() < 0.02:  # distractor: fake entities, real predicate
                 ps, _pred, _inv = ctx.pred_choices[rng.randrange(len(ctx.pred_choices))]
                 sents.append(f"{_fake_name(rng)} {ps} {_fake_name(rng)}.")
@@ -265,7 +268,8 @@ def gen_page(i: int, seed: int = SEED) -> dict:
         pool = _DE_SENTS if lang == "de" else _FR_SENTS
         sents.extend(rng.sample(pool, k=len(pool)))
 
-    filler = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(20, 60)))
+    filler = " ".join(rng.choice(_FILLER)
+                      for _ in range(rng.randint(300, 800)))
     quirk = rng.random()
     boiler_extra = ""
     if rng.random() < 0.05:
