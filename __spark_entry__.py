@@ -136,6 +136,23 @@ def _q_multimodal_frames(spark, sf_dir):
         .orderBy("media_id", "frame_idx")
 
 
+def _q_skew_distinct_users(spark, sf_dir):
+    from guackg.ops.skew import salted_distinct_count
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return salted_distinct_count(e, ["event_type"], "user_id") \
+        .orderBy("event_type")
+
+
+def _q_skew_top_events(spark, sf_dir):
+    from guackg.ops.skew import salted_top_values
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return salted_top_values(e, ["event_type"], "event_id", "value",
+                             n=3) \
+        .select("event_type", "event_id",
+                F.round("value", 4).alias("value"), "rank") \
+        .orderBy("event_type", "rank")
+
+
 def _q_langid(spark, sf_dir):
     from guackg.ops.textstats import language_id
     return language_id(_docs(spark, sf_dir))
@@ -266,6 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
+        "skew_salted_distinct_users": _q_skew_distinct_users,
+        "skew_salted_top_events": _q_skew_top_events,
         "text_language_id": _q_langid,
         "text_quality_score": _q_quality,
         "text_token_counts": _q_tokens,
@@ -499,6 +518,20 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(payload)) AS n_bytes,
                    sha256(payload) AS payload_sha256
             FROM media ORDER BY media_id
+        """,
+        "skew_salted_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "skew_salted_top_events": """
+            SELECT event_type, event_id, round(value, 4) AS value, rank
+            FROM (
+                SELECT event_type, event_id, value,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS INT) AS rank
+                FROM events)
+            WHERE rank <= 3
+            ORDER BY event_type, rank
         """,
         "text_language_id": rf"""
             SELECT doc_id,

@@ -111,6 +111,36 @@ def test_kill_and_resume(spark, corpus, pages_df, alias_df, assertions_df,
     assert e_resumed == e_full
 
 
+def test_incremental_ingest_reentrant(spark, pages_df, alias_df,
+                                      assertions_df, tmp_path_factory):
+    """The certifier-loop shape (SURVEY §3.3): ingest batch A, then
+    batch B through the SAME workdir — the merge-upserted graph must
+    cover exactly the keys of a single A∪B run (natural-key upserts
+    make re-entry safe; per-edge evidence is latest-wins, guac's
+    upsert overwrite semantics)."""
+    a = pages_df.limit(150)
+    b = pages_df.subtract(a)
+
+    wd_inc = str(tmp_path_factory.mktemp("kginc"))
+    pipe = KGPipeline(spark, wd_inc)
+    pipe.run(a, alias_df, assertions_df, input_fingerprint="batch-a")
+    out_inc = KGPipeline(spark, wd_inc).run(
+        b, alias_df, assertions_df, input_fingerprint="batch-b")
+
+    wd_full = str(tmp_path_factory.mktemp("kgfull"))
+    out_full = KGPipeline(spark, wd_full).run(
+        pages_df, alias_df, assertions_df, input_fingerprint="batch-ab")
+
+    n_inc = {r.canonical_key for r in out_inc["nodes"].collect()}
+    n_full = {r.canonical_key for r in out_full["nodes"].collect()}
+    assert n_inc == n_full
+    e_inc = {(r.subj_key, r.pred, r.obj_key)
+             for r in out_inc["edges"].collect()}
+    e_full = {(r.subj_key, r.pred, r.obj_key)
+              for r in out_full["edges"].collect()}
+    assert e_inc == e_full
+
+
 def test_no_per_row_python_in_hot_path(spark, pages_df, alias_df):
     """The whole extract→triples plan shows only Arrow-vectorized
     Python (ArrowEvalPython / MapInPandas) — never BatchEvalPython."""
