@@ -136,6 +136,26 @@ def _q_multimodal_frames(spark, sf_dir):
         .orderBy("media_id", "frame_idx")
 
 
+def _q_asof_purchase_view(spark, sf_dir):
+    """For each purchase event, the latest at-or-before view event of
+    the same user (backward as-of join; DuckDB native ASOF JOIN is
+    the oracle)."""
+    from guackg.ops.asof import asof_join
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = e.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    right = e.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id", "value")
+    out = asof_join(left, right, on="user_id",
+                    value_cols=["event_id", "value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.round("asof_value", 4).alias("view_value"),
+        F.col("asof_ts").alias("view_ts"),
+    ).orderBy("event_id")
+
+
 def _q_skew_distinct_users(spark, sf_dir):
     from guackg.ops.skew import salted_distinct_count
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -283,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
+        "asof_purchase_view": _q_asof_purchase_view,
         "skew_salted_distinct_users": _q_skew_distinct_users,
         "skew_salted_top_events": _q_skew_top_events,
         "text_language_id": _q_langid,
@@ -518,6 +539,17 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(payload)) AS n_bytes,
                    sha256(payload) AS payload_sha256
             FROM media ORDER BY media_id
+        """,
+        "asof_purchase_view": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS view_event_id,
+                   round(r.value, 4) AS view_value,
+                   r.ts AS view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
         """,
         "skew_salted_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct

@@ -37,13 +37,16 @@ def main() -> None:
     sf = sf_of(sf_dir)
     n_pages = int(round(1000 * sf / 0.001))
 
-    os.environ.setdefault("GUACKG_DRIVER_MEM", "32g")
+    # 16g: large enough for the working set, small enough that G1
+    # young collections stay short at 32 task threads (32g measured
+    # slower); 2 waves of shuffle tasks ride out stragglers
+    os.environ.setdefault("GUACKG_DRIVER_MEM", "16g")
     from guackg.session import get_spark
     # GUACKG_MASTER may override with local-cluster[N,cores,mem] —
     # separate executor JVMs, the honest N-executor stand-in
     master = os.environ.get("GUACKG_MASTER", f"local[{cpus}]")
     spark = get_spark("guackg-bench", master=master,
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(cpus * 2, 8))
     spark.sparkContext.setLogLevel("ERROR")
     if master.startswith("local-cluster"):
         import zipfile

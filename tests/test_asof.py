@@ -1,0 +1,51 @@
+"""As-of join: golden semantics on a hand-built timeline — backward
+match, equal-ts inclusion, no-match nulls, and tolerance cutoff."""
+
+from datetime import datetime
+
+from guackg.ops.asof import asof_join
+
+
+def _ts(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "L1"), ("u1", _ts(20), "L2"),
+         ("u1", _ts(5), "L0"),   # before any right row → null
+         ("u2", _ts(30), "L3")], # equal-ts right row → matches
+        "user string, ts timestamp, lid string")
+    right = spark.createDataFrame(
+        [("u1", _ts(8), 1.0), ("u1", _ts(15), 2.0),
+         ("u2", _ts(30), 9.0)],
+        "user string, ts timestamp, val double")
+
+    out = asof_join(left, right, on="user", value_cols=["val"])
+    got = {r.lid: (r.asof_val, r.asof_ts) for r in out.collect()}
+    assert got["L0"] == (None, None)
+    assert got["L1"] == (1.0, _ts(8))     # latest ≤ 10 is 8
+    assert got["L2"] == (2.0, _ts(15))    # latest ≤ 20 is 15
+    assert got["L3"] == (9.0, _ts(30))    # equal ts matches
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(30), "L1")], "user string, ts timestamp, lid string")
+    right = spark.createDataFrame(
+        [("u1", _ts(5), 1.0)], "user string, ts timestamp, val double")
+    wide = asof_join(left, right, on="user", value_cols=["val"])
+    assert wide.collect()[0].asof_val == 1.0
+    tight = asof_join(left, right, on="user", value_cols=["val"],
+                      tolerance_seconds=10)
+    assert tight.collect()[0].asof_val is None  # 25s gap > 10s tolerance
+
+
+def test_asof_no_row_python(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "L1")], "user string, ts timestamp, lid string")
+    right = spark.createDataFrame(
+        [("u1", _ts(8), 1.0)], "user string, ts timestamp, val double")
+    plan = asof_join(left, right, on="user", value_cols=["val"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
