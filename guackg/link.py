@@ -111,10 +111,9 @@ def link_mentions(
 
     links resolves EVERY input norm (dict / lsh / fallback).
     """
-    # materialize the (small, deduped) mention set once: both the dict
-    # join and the fuzzy-path sizing action reuse it instead of
-    # re-running the upstream distinct shuffle
-    mentions = mentions.localCheckpoint()
+    # mentions is consumed by both the dict join and the LSH left side;
+    # both branches share one deduplication exchange (Catalyst reuses
+    # the identical shuffle subtree — no checkpoint needed)
     dict_hits = mentions.join(
         F.broadcast(alias_dict.withColumnRenamed("surface", "norm")),
         on="norm", how="left",
@@ -141,8 +140,12 @@ def link_mentions(
         w = Window.partitionBy("band_id", "band_hash").orderBy("dnorm")
         right = right.withColumn("_rn", F.row_number().over(w)) \
                      .filter(F.col("_rn") <= MAX_BUCKET).drop("_rn")
+    # the banded dictionary is ≤ |dict|×N_BANDS rows — broadcast it so
+    # the (much larger) unmatched side never shuffles; at web scale
+    # with a pruned dictionary this holds to ~10^7 dict rows, beyond
+    # which AQE picks the shuffle join
     cand = (
-        left.alias("l").join(right.alias("r"),
+        left.alias("l").join(F.broadcast(right.alias("r")),
                              on=["band_id", "band_hash"])
         .select(F.col("l.norm").alias("norm"),
                 F.col("l._sh").alias("_sh"),

@@ -50,3 +50,48 @@ def stream_pages_to_triples(
             .trigger(availableNow=True)
             .outputMode("append")
             .start())
+
+
+def stream_windowed_mention_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    checkpoint_dir: str | None = None,
+):
+    """Watermarked tumbling-window aggregation over an event stream —
+    the late-data-tolerant counterpart of the batch
+    `events_tumbling_counts` operator. A window emits (append mode)
+    only once the watermark passes its end, i.e. once rows more than
+    `watermark_delay` late can no longer change it; replaying the
+    stream from the checkpoint emits no duplicates. (The reference
+    needs no watermarks — its upserts are last-write-wins on identical
+    keys, SURVEY §2.11 — but a web-crawl feed is not, so windows +
+    watermark is the Spark-native answer.)
+
+    Returns the StreamingQuery (AvailableNow: drains then stops)."""
+    schema = spark.read.parquet(events_dir).schema
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_wm_checkpoint")
+
+    from pyspark.sql import functions as F
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # watermarks require TIMESTAMP (with tz); NTZ sources cast through
+    # the UTC session zone losslessly
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (stream
+           .withWatermark("ts", watermark_delay)
+           .groupBy(F.window("ts", window_duration).alias("win"),
+                    "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"))
+           .select(F.col("win.start").alias("window_start"),
+                   F.col("win.end").alias("window_end"),
+                   "event_type", "n_events", "sum_value"))
+    return (agg.writeStream
+            .format("parquet")
+            .option("path", os.path.join(out_dir, "windowed_counts"))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())

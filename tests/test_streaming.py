@@ -15,6 +15,43 @@ def pages_dir(tmp_path_factory, pages_df):
     return d
 
 
+def test_windowed_counts_with_watermark(spark, tmp_path_factory):
+    """Closed windows (older than watermark at end-of-stream) must
+    match the batch aggregation exactly; open windows are withheld —
+    append-mode late-data semantics."""
+    import pyspark.sql.functions as F
+
+    from guackg.streaming import stream_windowed_mention_counts
+
+    events_dir = str(tmp_path_factory.mktemp("wm_events"))
+    out_dir = str(tmp_path_factory.mktemp("wm_out"))
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+     .write.mode("overwrite").parquet(events_dir))
+
+    q = stream_windowed_mention_counts(spark, events_dir, out_dir,
+                                       window_duration="1 hour",
+                                       watermark_delay="2 hours")
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(os.path.join(out_dir, "windowed_counts"))
+    batch = spark.read.parquet(events_dir) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # match stream
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    want = (batch
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+    # the stream withholds windows not yet closed by the watermark
+    closed = want.filter(
+        F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    assert got.count() == closed.count() > 0
+    assert got.exceptAll(closed).count() == 0
+    assert closed.exceptAll(got).count() == 0
+
+
 def test_stream_matches_batch_and_resumes(spark, pages_df, pages_dir,
                                           tmp_path_factory):
     from guackg.extract import extract, split_quarantine
