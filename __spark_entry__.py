@@ -125,9 +125,19 @@ def _q_multimodal_metadata(spark, sf_dir):
 
 
 def _q_multimodal_decode(spark, sf_dir):
+    # the driver's canonicalizer sorts column VALUES, so the
+    # array<float> features column must be projected to a hashable
+    # scalar here (round to 5dp → stable CSV string); pytest
+    # (tests/test_multimodal.py) pins the raw array form
     from guackg.ops.multimodal import as_media_table, decode_media
-    return decode_media(as_media_table(_docs(spark, sf_dir))) \
-        .orderBy("media_id")
+    decoded = decode_media(as_media_table(_docs(spark, sf_dir)))
+    return decoded.select(
+        "media_id", "kind", "width", "height", "n_frames",
+        F.array_join(
+            F.transform("features",
+                        lambda v: F.round(v.cast("double"), 5)
+                        .cast("string")), ",").alias("features_csv"),
+    ).orderBy("media_id")
 
 
 def _q_multimodal_frames(spark, sf_dir):

@@ -27,12 +27,16 @@ from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 25
 
-# Below this edge count the equivalence graph is collected and solved
+# Below these bounds the equivalence graph is collected and solved
 # with driver-side union-find — the same adaptive small-side rule as a
 # broadcast join (Spark's autoBroadcastJoinThreshold): a graph that
 # fits on the driver costs one collect instead of O(log n) shuffle
-# iterations. The star iterations remain the ≥10^6-edge path.
+# iterations. The star iterations remain the large-graph path. The
+# BYTES bound is the binding one (1M edges of long URL keys is
+# hundreds of MB once in a Python dict); 128 MB of raw key bytes
+# ≈ ≲1 GB resident driver-side — safe inside an 8 GB driver.
 DRIVER_CC_MAX_EDGES = 1_000_000
+DRIVER_CC_MAX_BYTES = 128 * 1024 * 1024
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -65,13 +69,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
+def _checksum(edges: DataFrame) -> tuple[int, int, int]:
+    """(edge count, content hash, total key bytes) in ONE 1-row agg —
+    the bytes feed the driver-path decision, so sizing costs no extra
+    job."""
     row = edges.select(
         F.count("*").alias("n"),
         F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
                    F.lit(0).cast("decimal(38,0)")).alias("h"),
+        F.coalesce(F.sum(F.length("u") + F.length("v")), F.lit(0))
+        .alias("b"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h"]), int(row["b"])
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -116,7 +125,7 @@ def connected_components(
              .localCheckpoint())
 
     prev = _checksum(edges)
-    if prev[0] <= driver_max_edges:
+    if prev[0] <= driver_max_edges and prev[2] <= DRIVER_CC_MAX_BYTES:
         return _driver_union_find(edges)
     for _ in range(MAX_ITERATIONS):
         edges = _small_star(_large_star(edges)).localCheckpoint()

@@ -72,6 +72,74 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
     return visited
 
 
+def blast_radius(edges: DataFrame, start_keys: list[str],
+                 max_depth: int = 5,
+                 preds: list[str] | None = None) -> DataFrame:
+    """Typed BFS closure WITH parent pointers: (key, depth, parent,
+    via_pred) for everything reachable from start_keys — the
+    patch-planning blast-radius shape (guacanalytics/
+    patchPlanning.go:55-150: per-level parents + edge type recorded),
+    which `reachable_from` (depth only) cannot answer.
+
+    Deterministic parent choice: among all min-depth discoverers of a
+    key, the lexicographically smallest (parent, via_pred) wins — no
+    arbitrary first-writer like the reference's map insert.
+
+    Scale shape: per round ONE equi-join frontier×edges (shuffle on
+    src), one left-anti vs visited, one per-key window for the parent
+    pick; lineage cut each round."""
+    spark = edges.sparkSession
+    from pyspark.sql import Window
+    e = edges.select(F.col("subj_key").alias("src"),
+                     F.col("obj_key").alias("dst"), "pred")
+    if preds:
+        e = e.filter(F.col("pred").isin(preds))
+    e = e.distinct().persist()
+    e.count()
+
+    visited = spark.createDataFrame(
+        [(k, 0, None, None) for k in start_keys],
+        "key string, depth int, parent string, via_pred string")
+    frontier = visited.select("key")
+    w = Window.partitionBy("key").orderBy("parent", "via_pred")
+    for depth in range(1, max_depth + 1):
+        cand = (frontier.join(e, frontier.key == e.src)
+                .select(F.col("dst").alias("key"),
+                        F.col("key").alias("parent"),
+                        F.col("pred").alias("via_pred"))
+                .join(visited.select("key"), on="key", how="left_anti")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("key", F.lit(depth).alias("depth"),
+                        "parent", "via_pred")
+                .localCheckpoint())
+        if cand.isEmpty():
+            break
+        visited = visited.unionByName(cand).localCheckpoint()
+        frontier = cand.select("key")
+    e.unpersist()
+    return visited
+
+
+def affected_roots(edges: DataFrame, seed_keys: list[str],
+                   root_prefix: str, max_depth: int = 5,
+                   preds: list[str] | None = None) -> DataFrame:
+    """Which roots are affected by a seed node: reverse-reachability
+    from the seeds, filtered to keys of the root namespace — the
+    vuln→top-level-products search (inmem/search.go:53-139: walk
+    backlinks from the vulnerability, keep product-kind nodes).
+
+    Composition of primitives: `reachable_from` over REVERSED edges +
+    a prefix filter (on a nodes table this is a kind equi-join; the
+    prefix form keeps the battery query self-contained)."""
+    rev = edges.select(F.col("obj_key").alias("subj_key"),
+                       "pred",
+                       F.col("subj_key").alias("obj_key"))
+    closure = reachable_from(rev, seed_keys, max_depth=max_depth,
+                             preds=preds)
+    return closure.filter(F.col("key").startswith(root_prefix))
+
+
 def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
              max_depth: int = 5) -> list[str] | None:
     """Shortest directed path src→dst as a key list (path.go:103-172:

@@ -27,7 +27,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -56,19 +56,55 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
                  keys: list[str],
                  partition_by: list[str] | None = None) -> None:
     """Keyed upsert: incoming rows replace existing rows with the same
-    key (guac's find-or-create trie upsert, pkg.go:344-434; on Iceberg:
-    MERGE INTO target USING df ON keys WHEN MATCHED UPDATE * WHEN NOT
-    MATCHED INSERT *)."""
+    key (guac's find-or-create trie upsert, pkg.go:344-434; on Iceberg
+    this whole function is one `MERGE INTO target USING df ON keys
+    WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *` — file-pruned by
+    the keys' partition values).
+
+    O(delta), not O(table): existing rows survive via ONE left-anti
+    join of old-vs-new keys (no global row_number window), and when
+    `partition_by` is set only the partitions that actually contain
+    new keys are rewritten — untouched partition directories are never
+    read or written. Precondition (documented contract): the partition
+    column is functionally dependent on the keys (true for
+    nodes[kind←canonical_key] and edges[pred∈keys]), so a key can
+    never move between partitions.
+
+    `keys` must be unique within `df`; this is enforced (cheap
+    dropDuplicates relative to the write) so first-write and merge
+    semantics are identical.
+    """
+    new = df.dropDuplicates(keys)
     if not table_exists(path):
-        # first write: callers supply key-unique frames (build_nodes /
-        # build_edges end in a keyed dedup/agg) — skip the merge window
-        write_table(df, path, partition_by)
+        write_table(new, path, partition_by)
         return
-    new = df.withColumn("__prio", F.lit(0))
-    old = read_table(spark, path).withColumn("__prio", F.lit(1))
-    w = Window.partitionBy(*keys).orderBy("__prio")
-    merged = (new.unionByName(old)
-              .withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1)
-              .drop("__prio", "__rn"))
-    write_table(merged, path, partition_by)
+    old = read_table(spark, path)
+    if not partition_by:
+        merged = old.join(new.select(keys).distinct(), on=keys,
+                          how="left_anti").unionByName(new)
+        write_table(merged, path, partition_by)
+        return
+
+    # partition-pruned merge: only partitions containing new keys are
+    # touched. The affected-values collect is bounded by the partition
+    # column's cardinality (kind / pred: O(10)) — not by data size.
+    assert len(partition_by) == 1, "single-level partitioning only"
+    pcol = partition_by[0]
+    affected = [r[0] for r in new.select(pcol).distinct().collect()]
+    old_hit = old.filter(F.col(pcol).isin(affected))
+    merged = old_hit.join(new.select(keys).distinct(), on=keys,
+                          how="left_anti").unionByName(new)
+
+    tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    # swap ONLY the affected partition subdirs into place (per-dir
+    # atomic rename — the parquet analog of Iceberg's partition-level
+    # snapshot commit)
+    for entry in os.listdir(tmp):
+        if not entry.startswith(f"{pcol}="):
+            continue
+        dst = os.path.join(path, entry)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.replace(os.path.join(tmp, entry), dst)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -77,11 +77,18 @@ def _shingles(col_name: str) -> F.Column:
 
 
 def _with_bands(df: DataFrame, text_col: str) -> DataFrame:
-    """shingles → 32 minhashes → 16 band keys → exploded band rows."""
-    df = df.withColumn("_sh", _shingles(text_col))
+    """shingles → 32 minhashes → 16 band keys → exploded band rows.
+
+    Each shingle STRING is hashed exactly once; the 32 permutations
+    are derived by re-hashing the resulting 8-byte long with the
+    permutation index (xxhash64 over two longs — far cheaper than 32
+    UTF8 string hashes per shingle, and ANSI-safe unlike wrap-around
+    affine mixing)."""
+    df = df.withColumn("_sh", _shingles(text_col)) \
+           .withColumn("_hs", F.expr("transform(_sh, s -> xxhash64(s))"))
     rows_per_band = N_MINHASH // N_BANDS
     mh = [
-        F.expr(f"array_min(transform(_sh, s -> xxhash64(s, {j}L)))").alias(f"_mh{j}")
+        F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {j}L)))").alias(f"_mh{j}")
         for j in range(N_MINHASH)
     ]
     df = df.select("*", *mh)
@@ -104,18 +111,26 @@ def _with_bands(df: DataFrame, text_col: str) -> DataFrame:
 def link_mentions(
     mentions: DataFrame,
     alias_dict: DataFrame,
+    broadcast_dict: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """mentions(norm) × alias_dict(surface, canonical_key, kind)
     → (links(norm, canonical_key, method), equivalence_edges(key_a,
     key_b, method)).
 
     links resolves EVERY input norm (dict / lsh / fallback).
+
+    `broadcast_dict` contract: True force-broadcasts the dictionary
+    (and its ×N_BANDS banded form) — correct only while the pruned
+    dictionary stays ≲10^6 rows (an explicit F.broadcast hint is NOT
+    overridden by AQE). Callers with a larger dictionary pass False
+    and let Catalyst/AQE pick the join strategy.
     """
+    _maybe_bcast = F.broadcast if broadcast_dict else (lambda d: d)
     # mentions is consumed by both the dict join and the LSH left side;
     # both branches share one deduplication exchange (Catalyst reuses
     # the identical shuffle subtree — no checkpoint needed)
     dict_hits = mentions.join(
-        F.broadcast(alias_dict.withColumnRenamed("surface", "norm")),
+        _maybe_bcast(alias_dict.withColumnRenamed("surface", "norm")),
         on="norm", how="left",
     ).select("norm", F.col("canonical_key").alias("dict_key"))
     unmatched = dict_hits.filter(F.col("dict_key").isNull()).select("norm")
@@ -132,20 +147,21 @@ def link_mentions(
     # dwarf the banding's few tiny shuffles.)
     left = _with_bands(unmatched, "norm")
     right = _with_bands(dict_side.select("dnorm"), "dnorm") \
-        .join(F.broadcast(dict_side), on="dnorm")
-    # cap pathological buckets (logged via lsh_bucket_stats) — only
-    # worth a window shuffle when the dictionary could actually
-    # produce a bucket over the cap
-    if alias_dict.count() > MAX_BUCKET * 10:
-        w = Window.partitionBy("band_id", "band_hash").orderBy("dnorm")
-        right = right.withColumn("_rn", F.row_number().over(w)) \
-                     .filter(F.col("_rn") <= MAX_BUCKET).drop("_rn")
-    # the banded dictionary is ≤ |dict|×N_BANDS rows — broadcast it so
-    # the (much larger) unmatched side never shuffles; at web scale
-    # with a pruned dictionary this holds to ~10^7 dict rows, beyond
-    # which AQE picks the shuffle join
+        .join(_maybe_bcast(dict_side), on="dnorm")
+    # cap pathological buckets unconditionally (counted, not silent —
+    # lsh_bucket_stats reports how many buckets were capped). The cap
+    # is gated on ACTUAL bucket size via the window rank, so a small
+    # dictionary pays one cheap window over ≤|dict|×N_BANDS rows and
+    # loses nothing; an eager dict.count() action here would run a
+    # Spark job on every call.
+    w = Window.partitionBy("band_id", "band_hash").orderBy("dnorm")
+    right = right.withColumn("_rn", F.row_number().over(w)) \
+                 .filter(F.col("_rn") <= MAX_BUCKET).drop("_rn")
+    # the banded dictionary is ≤ |dict|×N_BANDS rows — broadcast under
+    # the same `broadcast_dict` contract as the exact join above so
+    # the (much larger) unmatched side never shuffles
     cand = (
-        left.alias("l").join(F.broadcast(right.alias("r")),
+        left.alias("l").join(_maybe_bcast(right.alias("r")),
                              on=["band_id", "band_hash"])
         .select(F.col("l.norm").alias("norm"),
                 F.col("l._sh").alias("_sh"),
@@ -163,8 +179,11 @@ def link_mentions(
         .filter(F.col("_rn") == 1) \
         .select("norm", F.col("canonical_key").alias("lsh_key"))
 
+    # no hint on the fuzzy side: it is bounded by the unmatched tail
+    # (not the dictionary), so let AQE pick broadcast-vs-shuffle from
+    # its measured size
     links = (dict_hits
-             .join(F.broadcast(fuzzy), on="norm", how="left")
+             .join(fuzzy, on="norm", how="left")
              .select(
                  "norm",
                  F.coalesce("dict_key", "lsh_key",

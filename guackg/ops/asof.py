@@ -33,30 +33,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
 
-    l_marked = left.select(
-        F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
-    )
+    # ONE struct per right row: a single last(ignorenulls) fill below
+    # means every attached column comes from the SAME right row —
+    # per-column fills would mix columns across right rows whenever a
+    # newer right row has a null in one value column.
     r_marked = right.select(
         F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            l_marked.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(*([F.col(c) for c in value_cols]
+                   + [F.col(right_ts).alias("_rts")])).alias("_r"),
     )
+    l_marked = left.select(
+        F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.lit(None).cast(r_marked.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r_marked = r_marked.withColumn(
+        "_l", F.lit(None).cast(l_marked.schema["_l"].dataType))
     # right rows sort BEFORE left rows at equal ts ⇒ equal-ts match
     u = l_marked.unionByName(r_marked)
     w = Window.partitionBy(on).orderBy("_ts", "_side") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     filled = u.select(
         on, "_ts", "_side", "_l",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-          for c in value_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_r_ts"),
-    ).filter(F.col("_side") == 1)
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
+    ).filter(F.col("_side") == 1).select(
+        on, "_ts", "_l",
+        *[F.col(f"_r.{c}").alias(f"_r_{c}") for c in value_cols],
+        F.col("_r._rts").alias("_r_ts"),
+    )
 
     if tolerance_seconds is not None:
         in_tol = (F.col("_r_ts").isNotNull()

@@ -110,15 +110,21 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
        its arrays k times through the shuffle);
     2. pair dedup while rows are still 2 ints wide;
     3. signature-estimate prefilter: est-Jaccard = matching minhash
-       fraction, keep est ≥ threshold − 0.15 (3σ for 32 hashes —
-       recall loss < 0.5% at J = threshold), discarding the heavy
-       mid-similarity candidate mass cheaply;
-    4. exact word-set Jaccard on the survivors only."""
+       fraction, keep est ≥ threshold − 3σ where σ = sqrt(t(1−t)/n)
+       (≈0.27 at n=32, t=0.5 — boundary-pair recall loss <0.5%),
+       discarding the heavy mid-similarity candidate mass cheaply;
+    4. exact word-set Jaccard on the survivors only.
+
+    Each word is hashed ONCE (`hs`); the n_hashes permutations derive
+    from the 8-byte long via xxhash64(h, j) — n× fewer string hashes
+    than hashing every word per permutation (standard MinHash
+    practice; ANSI-safe vs wrap-around affine mixing)."""
     rows_per_band = n_hashes // n_bands
     base = (docs.select("doc_id", _word_set(text_col).alias("ws"))
+            .withColumn("hs", F.expr("transform(ws, w -> xxhash64(w))"))
             .withColumn("sig", F.expr(
                 f"transform(sequence(0, {n_hashes - 1}), "
-                f"j -> array_min(transform(ws, w -> xxhash64(w, j))))")))
+                f"j -> array_min(transform(hs, h -> xxhash64(h, j))))")))
     bands = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
                  F.xxhash64(*[F.expr(f"sig[{b * rows_per_band + r}]")
@@ -139,12 +145,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     est = F.expr(
         f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
         f" / cast({n_hashes} as double)")
+    # 3σ margin for an n_hashes Bernoulli estimate at J = threshold
+    margin = 3.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
     prefiltered = (cand
                    .join(sigs.select(F.col("doc_id").alias("doc_a"),
                                      F.col("sig").alias("sig_a")), on="doc_a")
                    .join(sigs.select(F.col("doc_id").alias("doc_b"),
                                      F.col("sig").alias("sig_b")), on="doc_b")
-                   .filter(est >= threshold - 0.15)
+                   .filter(est >= threshold - margin)
                    .select("doc_a", "doc_b"))
     ws = base.select("doc_id", "ws")
     verified = (prefiltered
@@ -182,26 +190,38 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 63-bit value into 4 chunks
-    (pigeonhole: hamming ≤ max ⇒ at least one chunk equal when
-    max < 4·…), verify true hamming distance with bit_count(xor)."""
+    """Near-dup pairs by SimHash: band the 63-bit value into
+    `max_hamming + 1` chunks — pigeonhole guarantees that any pair
+    within the queried hamming radius shares at least one FULL chunk
+    (max_hamming differing bits cannot touch all max_hamming+1
+    chunks), so recall within the radius is exactly 1.0 — then verify
+    true hamming with bit_count(xor).
+
+    Shape: ONE self-equi-join on exploded (chunk_id, chunk_value)
+    rows — shuffle keys are the chunk values (near-uniform), the join
+    carries only (doc_id, simhash64)."""
+    n_chunks = max_hamming + 1
+    bounds = [i * 63 // n_chunks for i in range(n_chunks + 1)]
     sh = simhash(docs, text_col)
-    chunks = [(F.shiftrightunsigned(F.col("simhash64"), 16 * i)
-               .bitwiseAND(F.lit(0xFFFF).cast("bigint"))).alias(f"c{i}")
-              for i in range(4)]
-    banded = sh.select("doc_id", "simhash64", *chunks)
-    pairs = None
-    for i in range(4):
-        a = banded.alias("a")
-        b = banded.alias("b")
-        p = (a.join(b, F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            (F.shiftrightunsigned(F.col("simhash64"), bounds[i])
+             .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+                         .cast("bigint"))).alias("chunk_val"))
+        for i in range(n_chunks)])
+    banded = (sh.withColumn("_c", F.explode(chunks))
+              .select("doc_id", "simhash64",
+                      F.col("_c.chunk_id").alias("chunk_id"),
+                      F.col("_c.chunk_val").alias("chunk_val")))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, on=["chunk_id", "chunk_val"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
                      F.col("a.simhash64").alias("sh_a"),
-                     F.col("b.simhash64").alias("sh_b")))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+                     F.col("b.simhash64").alias("sh_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)

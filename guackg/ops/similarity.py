@@ -45,19 +45,26 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
-def _bucket_udf(n_planes: int, n_tables: int, seed: int, dim: int):
+def _bucket_udf(n_planes: int, n_tables: int, seed: int,
+                dim: int | None = None):
     """Arrow-vectorized sign-sketch: one numpy matmul per batch
     (embeddings[B,D] @ planes[D, T*P] → sign bits → T bucket ids).
     The hyperplanes are a pure function of (seed, dim) regenerated per
-    executor — nothing broadcast, fully deterministic (PCG64)."""
+    executor — nothing broadcast, fully deterministic (PCG64). `dim`
+    defaults to each batch's vector length (the column is fixed-width
+    by contract), so no driver-side action is ever needed to size the
+    planes."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        d = dim if dim is not None else len(emb.iloc[0])
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_tables * n_planes))
+        planes = rng.standard_normal((d, n_tables * n_planes))
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
         bits = (mat @ planes) >= 0  # [B, T*P]
         weights = (1 << np.arange(n_planes, dtype=np.int64))
@@ -105,8 +112,6 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
     (table, bucket) keys (~corpus/2^P rows per bucket) instead of the
     O(n²) cross product. Recall rises with n_tables; every surviving
     pair is exact-verified, so precision is 1.0 vs the exact op."""
-    if dim is None:
-        dim = len(embeddings.select("embedding").first()[0])
     udf = _bucket_udf(n_planes, n_tables, seed, dim)
     e = (embeddings
          .select("vec_id",
@@ -140,8 +145,6 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame,
 
     At 100 TB: candidate generation shuffles on (t, bucket) — ~1/2^P
     of the corpus per bucket — instead of the full cross product."""
-    if dim is None:
-        dim = len(embeddings.select("embedding").first()[0])
     udf = _bucket_udf(n_planes, n_tables, seed, dim)
 
     e = embeddings.select("vec_id", F.col("embedding").alias("ve"))

@@ -111,12 +111,15 @@ class KGPipeline:
             out["links"] = self._run_stage(
                 "link", _fingerprint(fp_base, "link"), _link)
             # derived from the MATERIALIZED links — a projection, not a
-            # second run of the broadcast/LSH linking DAG
-            if not gio.table_exists(self._out("equivalence_edges")):
-                gio.write_table(equivalence_edges_from_links(out["links"]),
-                                self._out("equivalence_edges"))
-            out["equivalence_edges"] = gio.read_table(
-                self.spark, self._out("equivalence_edges"))
+            # second run of the broadcast/LSH linking DAG. Runs under
+            # its own lineage fingerprint (same fp_base) so a new
+            # input fingerprint recomputes it alongside the link stage
+            # — mere table existence is NOT enough (a stale edges
+            # table from a prior ingest must not feed canonicalize).
+            out["equivalence_edges"] = self._run_stage(
+                "equivalence_edges",
+                _fingerprint(fp_base, "equivalence_edges"),
+                lambda: equivalence_edges_from_links(out["links"]))
         else:
             return out
 
