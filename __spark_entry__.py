@@ -259,11 +259,82 @@ def _q_graph_reachability(spark, sf_dir):
         .orderBy("depth", "key")
 
 
-def _q_graph_toposort(spark, sf_dir):
-    """Kahn levels over the layered part→supplier→nation→region DAG
-    (SURVEY G6). Level == longest path from a root, which for this
-    layered graph is expressible in plain SQL — the oracle."""
-    from guackg.graph import toposort_levels
+def _q_graph_blast_radius(spark, sf_dir):
+    """BFS closure WITH deterministic parent pointers from c:1 over
+    the trade graph (SURVEY G5, patchPlanning.go blast-radius shape);
+    oracle: recursive-CTE min-depth closure + min-(parent, pred)
+    selection among min-depth-1 discoverers."""
+    from guackg.graph import blast_radius
+    edges = _bipartite_edges(spark, sf_dir)
+    return blast_radius(edges, ["c:1"], max_depth=3) \
+        .orderBy("depth", "key")
+
+
+def _q_graph_affected_roots(spark, sf_dir):
+    """Reverse reachability: which parts ('top-level products') are in
+    the blast radius of region r:1 over the feeds DAG (SURVEY G7, the
+    vuln→products search, inmem/search.go:53-139)."""
+    from guackg.graph import affected_roots
+    return affected_roots(_feeds_edges(spark, sf_dir), ["r:1"],
+                          root_prefix="p:", max_depth=3).orderBy("key")
+
+
+def _q_semver_range_match(spark, sf_dir):
+    """Version-range theta join (SURVEY J4, depversion.go:43-91):
+    constraints synthesized from supplier keys match versions
+    synthesized from part keys — equi-join on package name + integer
+    range filter, all JVM-side."""
+    from guackg.ops.version import version_range_join
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    versions = p.select(
+        F.concat(F.lit("pkg"), (F.col("p_partkey") % 40).cast("string"))
+        .alias("name"),
+        F.concat_ws(".", (F.col("p_partkey") % 5).cast("string"),
+                    (F.col("p_partkey") % 10).cast("string"),
+                    (F.col("p_partkey") % 7).cast("string"))
+        .alias("version"),
+    ).distinct()
+    op = F.element_at(
+        F.array(F.lit("^"), F.lit("~"), F.lit(">="), F.lit("<"),
+                F.lit("=")),
+        ((F.col("s_suppkey") % 5) + 1).cast("int"))
+    deps = s.select(
+        F.col("s_suppkey").alias("dep_id"),
+        F.concat(F.lit("pkg"), (F.col("s_suppkey") % 40).cast("string"))
+        .alias("name"),
+        F.concat(op, (F.col("s_suppkey") % 5).cast("string"), F.lit("."),
+                 (F.col("s_suppkey") % 10).cast("string"), F.lit("."),
+                 (F.col("s_suppkey") % 7).cast("string"))
+        .alias("constraint_str"),
+    )
+    out = version_range_join(deps, versions,
+                             constraint_col="constraint_str")
+    return out.select("dep_id", "name", "constraint_str", "version",
+                      "vnum").orderBy("dep_id", "vnum", "version")
+
+
+def _q_collect_order_history(spark, sf_dir):
+    """Holistic collect_list(struct)-style aggregation (SURVEY A4, the
+    scorecard parser's nested check list), skew-safe two-stage salted
+    collect; items rendered as 'date:cents' strings so the sorted
+    list is hashable and byte-comparable with the DuckDB list()
+    oracle."""
+    from guackg.ops.skew import salted_collect_sorted
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    item = F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"),
+                    F.lit(":"),
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("bigint").cast("string"))
+    out = salted_collect_sorted(o, ["o_custkey"], item)
+    return out.select("o_custkey",
+                      F.array_join("items", "|").alias("history"),
+                      "n_items").orderBy("o_custkey")
+
+
+def _feeds_edges(spark, sf_dir):
+    """Layered part→supplier→nation→region DAG (shared by toposort
+    and affected-roots)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -281,9 +352,17 @@ def _q_graph_toposort(spark, sf_dir):
           .select(F.concat(F.lit("n:"), F.col("n_nationkey")).alias("subj_key"),
                   F.concat(F.lit("r:"), F.col("n_regionkey")).alias("obj_key"))
           .distinct())
-    edges = (ps.unionByName(sn).unionByName(nr)
-             .withColumn("pred", F.lit("feeds")))
-    return toposort_levels(edges).orderBy("level", "key")
+    return (ps.unionByName(sn).unionByName(nr)
+            .withColumn("pred", F.lit("feeds")))
+
+
+def _q_graph_toposort(spark, sf_dir):
+    """Kahn levels over the layered part→supplier→nation→region DAG
+    (SURVEY G6). Level == longest path from a root, which for this
+    layered graph is expressible in plain SQL — the oracle."""
+    from guackg.graph import toposort_levels
+    return toposort_levels(_feeds_edges(spark, sf_dir)) \
+        .orderBy("level", "key")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -302,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": R.event_sessionization,
         "graph_reachability": _q_graph_reachability,
         "graph_toposort_levels": _q_graph_toposort,
+        "graph_blast_radius": _q_graph_blast_radius,
+        "graph_affected_roots": _q_graph_affected_roots,
+        "semver_range_match": _q_semver_range_match,
+        "collect_order_history": _q_collect_order_history,
         # training-data ops: dedup / similarity / text analysis
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -476,6 +559,109 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'n:' || s_nationkey, 2 FROM nat
                 UNION ALL SELECT 'r:' || n_regionkey, 3 FROM reg)
             ORDER BY level, key
+        """,
+        "graph_blast_radius": """
+            WITH RECURSIVE e AS (
+                SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst,
+                       'traded_with' AS pred
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2, 3
+                UNION ALL
+                SELECT 's:' || l_suppkey, 'c:' || o_custkey, 'traded_with'
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2, 3
+            ), r AS (
+                SELECT 'c:1' AS key, 0 AS depth
+                UNION
+                SELECT e.dst, r.depth + 1
+                FROM r JOIN e ON r.key = e.src
+                WHERE r.depth < 3
+            ), md AS (
+                SELECT key, CAST(min(depth) AS INT) AS depth
+                FROM r GROUP BY key
+            ), cand AS (
+                SELECT c.key, c.depth, p.key AS parent, e.pred AS via_pred,
+                       row_number() OVER (PARTITION BY c.key
+                                          ORDER BY p.key, e.pred) AS rn
+                FROM md c
+                JOIN e ON e.dst = c.key
+                JOIN md p ON p.key = e.src AND p.depth = c.depth - 1
+            )
+            SELECT key, depth, parent, via_pred FROM cand WHERE rn = 1
+            UNION ALL
+            SELECT 'c:1', CAST(0 AS INT), NULL, NULL
+            ORDER BY depth, key
+        """,
+        "graph_affected_roots": """
+            WITH RECURSIVE
+            sup AS (SELECT DISTINCT l_suppkey FROM lineitem),
+            ps AS (SELECT DISTINCT 'p:' || l_partkey AS src,
+                                   's:' || l_suppkey AS dst
+                   FROM lineitem),
+            sn AS (SELECT DISTINCT 's:' || s_suppkey AS src,
+                                   'n:' || s_nationkey AS dst
+                   FROM supplier JOIN sup ON s_suppkey = l_suppkey),
+            nat AS (SELECT DISTINCT s_nationkey
+                    FROM supplier JOIN sup ON s_suppkey = l_suppkey),
+            nr AS (SELECT DISTINCT 'n:' || n_nationkey AS src,
+                                   'r:' || n_regionkey AS dst
+                   FROM nation JOIN nat ON n_nationkey = s_nationkey),
+            e AS (SELECT dst AS src, src AS dst FROM
+                  (SELECT * FROM ps UNION ALL SELECT * FROM sn
+                   UNION ALL SELECT * FROM nr)),
+            r AS (
+                SELECT 'r:1' AS key, 0 AS depth
+                UNION
+                SELECT e.dst, r.depth + 1
+                FROM r JOIN e ON r.key = e.src
+                WHERE r.depth < 3
+            )
+            SELECT key, CAST(min(depth) AS INT) AS depth
+            FROM r GROUP BY key
+            HAVING key LIKE 'p:%'
+            ORDER BY key
+        """,
+        "semver_range_match": """
+            WITH versions AS (
+                SELECT DISTINCT
+                       'pkg' || (p_partkey % 40) AS name,
+                       (p_partkey % 5) || '.' || (p_partkey % 10) || '.'
+                           || (p_partkey % 7) AS version,
+                       (p_partkey % 5) * 1000000 + (p_partkey % 10) * 1000
+                           + (p_partkey % 7) AS vnum
+                FROM part
+            ), deps AS (
+                SELECT s_suppkey AS dep_id,
+                       'pkg' || (s_suppkey % 40) AS name,
+                       ['^','~','>=','<','='][(s_suppkey % 5)::INT + 1] AS op,
+                       s_suppkey % 5 AS x, s_suppkey % 10 AS y,
+                       s_suppkey % 7 AS z
+                FROM supplier
+            ), bounds AS (
+                SELECT dep_id, name,
+                       op || x || '.' || y || '.' || z AS constraint_str,
+                       CASE WHEN op = '<' THEN 0
+                            ELSE x * 1000000 + y * 1000 + z END AS lo,
+                       CASE op WHEN '=' THEN x * 1000000 + y * 1000 + z + 1
+                               WHEN '^' THEN (x + 1) * 1000000
+                               WHEN '~' THEN x * 1000000 + (y + 1) * 1000
+                               WHEN '>=' THEN 999999999999
+                               WHEN '<' THEN x * 1000000 + y * 1000 + z
+                       END AS hi
+                FROM deps
+            )
+            SELECT dep_id, b.name AS name, constraint_str, version, vnum
+            FROM bounds b JOIN versions v ON b.name = v.name
+            WHERE vnum >= lo AND vnum < hi
+            ORDER BY dep_id, vnum, version
+        """,
+        "collect_order_history": """
+            SELECT o_custkey,
+                   array_to_string(list_sort(list(
+                       strftime(o_orderdate, '%Y-%m-%d') || ':' ||
+                       round(o_totalprice * 100)::BIGINT)), '|') AS history,
+                   count(*)::INT AS n_items
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
         "dedup_exact": """
             SELECT doc_id, content_hash, dup_count FROM (

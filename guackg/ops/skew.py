@@ -63,6 +63,40 @@ def salted_top_values(df: DataFrame, key_cols: list[str],
             .filter(F.col("rank") <= n))
 
 
+def salted_collect_sorted(df: DataFrame, key_cols: list[str],
+                          item_col: F.Column | str,
+                          buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Exact sorted collect_list per key, skew-safe — the holistic
+    nested aggregation the reference's scorecard parser builds (one
+    row per subject carrying the full ordered check list,
+    /root/reference/pkg/ingestor/parser/scorecard/
+    parser_scorecard.go; SURVEY A4).
+
+    collect_list gets NO size reduction from partial aggregation, so
+    a hot key's whole value set lands on one reducer. Two stages fix
+    the reducer's working set: (1) collect within (key, salt) buckets
+    — each reducer holds ≤1/B of a hot key — then (2) merge the B
+    pre-sorted bucket arrays per key. The final per-key array is the
+    same size either way (that's the semantics), but stage 1's
+    shuffle and memory spikes are flattened.
+
+    Output: (key_cols…, items array<item>, n_items), items sorted
+    ascending — deterministic regardless of input partitioning."""
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    per_bucket = (df
+                  .withColumn("_item", item)
+                  .withColumn("_salt",
+                              F.pmod(F.xxhash64(F.col("_item")),
+                                     F.lit(buckets)))
+                  .groupBy(*key_cols, "_salt")
+                  .agg(F.sort_array(F.collect_list("_item"))
+                       .alias("_bucket_items")))
+    return (per_bucket.groupBy(*key_cols)
+            .agg(F.sort_array(F.flatten(F.collect_list("_bucket_items")))
+                 .alias("items"))
+            .withColumn("n_items", F.size("items")))
+
+
 def head_entity_stats(edges: DataFrame, key_col: str = "subj_key",
                       top: int = 20) -> DataFrame:
     """Diagnostic: the heaviest keys per predicate with their edge

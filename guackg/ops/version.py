@@ -1,0 +1,92 @@
+"""Semver version-range matching — the reference's dependency
+version-constraint resolution (/root/reference/pkg/misc/depversion/
+depversion.go:43-91: parse a constraint set, test each known version)
+re-expressed as a relational theta join.
+
+Constraint grammar (the subset the battery exercises; the reference's
+npm-style grammar adds ||-unions which compose as a UNION of these):
+
+    =X.Y.Z    exactly X.Y.Z
+    ^X.Y.Z    >=X.Y.Z and < (X+1).0.0      (caret: same major)
+    ~X.Y.Z    >=X.Y.Z and < X.(Y+1).0      (tilde: same minor)
+    >=X.Y.Z   at or above
+    <X.Y.Z    strictly below
+
+Everything is JVM-side: versions and constraint bounds parse with
+regexp_extract into ONE sortable bigint (major·10^6 + minor·10^3 +
+patch — components < 1000 by contract, enforced with a validity
+filter), so the range test is two integer comparisons.
+
+Scale shape: the join is an EQUI-join on the package name (ranges
+only ever compare within a name), so it shuffles on name and the
+range predicate evaluates post-join — no broadcast-nested-loop, no
+cross product. Hot package names (the lodash problem) are ordinary
+join skew: AQE skew-join splits them, and both sides can pre-
+aggregate to distinct (name, version) / (name, constraint) first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_VER_RE = r"^(\d+)\.(\d+)\.(\d+)$"
+_CON_RE = r"^(\^|~|>=|<|=)(\d+)\.(\d+)\.(\d+)$"
+
+VERSION_SCALE_MINOR = 1_000
+VERSION_SCALE_MAJOR = 1_000_000
+_MAX = 999_999_999_999  # open upper bound sentinel (> any encodable)
+
+
+def version_num(col: F.Column) -> F.Column:
+    """'X.Y.Z' → sortable bigint, NULL if unparseable (quarantine
+    semantics — bad versions never silently match)."""
+    maj = F.regexp_extract(col, _VER_RE, 1)
+    mnr = F.regexp_extract(col, _VER_RE, 2)
+    pat = F.regexp_extract(col, _VER_RE, 3)
+    ok = maj != ""
+    return F.when(
+        ok,
+        maj.cast("bigint") * VERSION_SCALE_MAJOR
+        + mnr.cast("bigint") * VERSION_SCALE_MINOR
+        + pat.cast("bigint"))
+
+
+def constraint_bounds(col: F.Column) -> tuple[F.Column, F.Column]:
+    """constraint string → (lo, hi): matches are lo <= v < hi.
+    NULL bounds for unparseable constraints (no silent match-all)."""
+    op = F.regexp_extract(col, _CON_RE, 1)
+    maj = F.regexp_extract(col, _CON_RE, 2).cast("bigint")
+    mnr = F.regexp_extract(col, _CON_RE, 3).cast("bigint")
+    pat = F.regexp_extract(col, _CON_RE, 4).cast("bigint")
+    base = (maj * VERSION_SCALE_MAJOR + mnr * VERSION_SCALE_MINOR + pat)
+    ok = op != ""
+    lo = F.when(ok & (op == "<"), F.lit(0)) \
+        .when(ok, base)
+    hi = F.when(ok & (op == "="), base + 1) \
+        .when(ok & (op == "^"), (maj + 1) * VERSION_SCALE_MAJOR) \
+        .when(ok & (op == "~"),
+              maj * VERSION_SCALE_MAJOR + (mnr + 1) * VERSION_SCALE_MINOR) \
+        .when(ok & (op == ">="), F.lit(_MAX)) \
+        .when(ok & (op == "<"), base)
+    return lo, hi
+
+
+def version_range_join(deps: DataFrame, versions: DataFrame,
+                       name_col: str = "name",
+                       constraint_col: str = "constraint",
+                       version_col: str = "version") -> DataFrame:
+    """deps(name, constraint, …) ⋈ versions(name, version, …) →
+    every (dep, version) pair whose version satisfies the constraint
+    (depversion.go's WhichVersionMatches, as one equi-join + range
+    filter). Output keeps all columns of both sides plus the parsed
+    `vnum`."""
+    lo, hi = constraint_bounds(F.col(constraint_col))
+    d = deps.withColumn("_lo", lo).withColumn("_hi", hi) \
+        .filter(F.col("_lo").isNotNull())
+    v = versions.withColumn("vnum", version_num(F.col(version_col))) \
+        .filter(F.col("vnum").isNotNull())
+    return (d.join(v, on=name_col)
+            .filter((F.col("vnum") >= F.col("_lo"))
+                    & (F.col("vnum") < F.col("_hi")))
+            .drop("_lo", "_hi"))

@@ -4,8 +4,9 @@
 import pytest
 from pyspark.sql import functions as F
 
-from guackg.graph import (bfs_path, find_entities, neighbors,
-                          reachable_from, toposort_levels)
+from guackg.graph import (affected_roots, bfs_path, blast_radius,
+                          find_entities, neighbors, reachable_from,
+                          toposort_levels)
 
 
 @pytest.fixture(scope="module")
@@ -36,6 +37,33 @@ def test_reachable_from_depth(edges):
     assert got == {("a", 0), ("b", 1), ("c", 2)}
     r3 = reachable_from(edges, ["a"], max_depth=10)
     assert {x.key for x in r3.collect()} == {"a", "b", "c", "d", "e", "f"}
+
+
+def test_blast_radius_parents_and_determinism(spark, edges):
+    r = blast_radius(edges, ["a"], max_depth=3)
+    got = {x.key: (x.depth, x.parent, x.via_pred) for x in r.collect()}
+    assert got["a"] == (0, None, None)
+    assert got["b"] == (1, "a", "founded_by")
+    assert got["c"] == (2, "b", "works_for")
+    assert got["d"] == (3, "c", "located_in")
+    assert got["f"] == (3, "c", "owns")
+    # two min-depth discoverers -> lexicographically smallest parent
+    diamond = spark.createDataFrame(
+        [("s", "p1", "m1"), ("s", "p2", "m2"),
+         ("m1", "z", "t"), ("m2", "z", "t")],
+        "subj_key string, pred string, obj_key string")
+    got2 = {x.key: (x.parent, x.via_pred)
+            for x in blast_radius(diamond, ["s"], 3).collect()}
+    assert got2["t"] == ("m1", "z")
+
+
+def test_affected_roots_reverse_search(edges):
+    # who can reach d (the 'vulnerable' node)? roots in the 'a'/'x'
+    # namespace among {a,b,c,x}
+    r = affected_roots(edges, ["d"], root_prefix="", max_depth=5)
+    assert {x.key for x in r.collect()} == {"d", "c", "b", "a", "x"}
+    only_x = affected_roots(edges, ["d"], root_prefix="x", max_depth=5)
+    assert {x.key for x in only_x.collect()} == {"x"}
 
 
 def test_bfs_path(edges):

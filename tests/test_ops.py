@@ -74,3 +74,18 @@ def test_language_id_on_known_text(spark):
         "doc_id long, text string")
     got = {r.doc_id: r.lang_guess for r in language_id(df).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_salted_collect_sorted_matches_plain_collect(spark):
+    from pyspark.sql import functions as F
+
+    from guackg.ops.skew import salted_collect_sorted
+    rows = [("k1", f"v{i:03d}") for i in range(57)] + \
+           [("k2", "b"), ("k2", "a"), ("k3", "z")]
+    df = spark.createDataFrame(rows, "k string, v string").repartition(7)
+    out = {r.k: (r.items, r.n_items)
+           for r in salted_collect_sorted(df, ["k"], "v", buckets=4)
+           .collect()}
+    assert out["k1"] == ([f"v{i:03d}" for i in range(57)], 57)
+    assert out["k2"] == (["a", "b"], 2)
+    assert out["k3"] == (["z"], 1)

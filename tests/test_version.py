@@ -1,0 +1,54 @@
+"""Semver range-join tests (SURVEY J4, depversion.go:43-91 parity:
+the reference's constraint table WhichVersionMatches cases for the
+supported grammar subset)."""
+
+from pyspark.sql import functions as F
+
+from guackg.ops.version import version_range_join
+
+
+def _join(spark, constraints, versions):
+    deps = spark.createDataFrame(
+        [("d%d" % i, "pkg", c) for i, c in enumerate(constraints)],
+        "dep_id string, name string, constraint string")
+    vers = spark.createDataFrame(
+        [("pkg", v) for v in versions], "name string, version string")
+    out = version_range_join(deps, vers)
+    got: dict[str, set[str]] = {c: set() for c in constraints}
+    for r in out.collect():
+        got[r["constraint"]].add(r["version"])
+    return got
+
+
+def test_constraint_semantics(spark):
+    versions = ["0.9.9", "1.2.2", "1.2.3", "1.2.9", "1.3.0", "1.9.9",
+                "2.0.0", "2.1.0"]
+    got = _join(spark, ["=1.2.3", "^1.2.3", "~1.2.3", ">=1.3.0",
+                        "<1.2.3"], versions)
+    assert got["=1.2.3"] == {"1.2.3"}
+    # caret: >=1.2.3 <2.0.0
+    assert got["^1.2.3"] == {"1.2.3", "1.2.9", "1.3.0", "1.9.9"}
+    # tilde: >=1.2.3 <1.3.0
+    assert got["~1.2.3"] == {"1.2.3", "1.2.9"}
+    assert got[">=1.3.0"] == {"1.3.0", "1.9.9", "2.0.0", "2.1.0"}
+    assert got["<1.2.3"] == {"0.9.9", "1.2.2"}
+
+
+def test_unparseable_never_matches(spark):
+    got = _join(spark, ["latest", ">=x.2.3"], ["1.0.0"])
+    assert got["latest"] == set()
+    assert got[">=x.2.3"] == set()
+    # bad version strings are quarantined too
+    got2 = _join(spark, [">=0.0.0"], ["1.0", "v2.0.0", "1.0.0"])
+    assert got2[">=0.0.0"] == {"1.0.0"}
+
+
+def test_name_scoping(spark):
+    deps = spark.createDataFrame(
+        [("d0", "left", ">=1.0.0")],
+        "dep_id string, name string, constraint string")
+    vers = spark.createDataFrame(
+        [("left", "1.5.0"), ("right", "9.9.9")],
+        "name string, version string")
+    out = version_range_join(deps, vers).collect()
+    assert [(r["name"], r["version"]) for r in out] == [("left", "1.5.0")]
