@@ -206,6 +206,32 @@ def equivalence_edges_from_links(links: DataFrame) -> DataFrame:
     )
 
 
+def identifier_candidates(links: DataFrame,
+                          triples: DataFrame) -> DataFrame:
+    """S9/T12 identifier side-channel: every surface the linker could
+    NOT resolve (method = fallback), with its mention frequency and
+    synthesized key — the collectsub analog (the reference posts each
+    parser-discovered identifier for later collection,
+    ingestor/ingestor.go:168-180, collectsub/collectsub.proto:21-65,
+    parser/common/types.go:48-58). Feeding these rows back into the
+    alias dictionary closes the enrichment cycle (SURVEY §3.3): a
+    surface added to the dictionary resolves as `dict` on the next
+    ingest (tests/test_link.py exercises the round trip).
+
+    Frequency ranks the curation queue; the count agg is map-side
+    partial, so head surfaces don't create a hot reducer."""
+    freq = (triples
+            .select(F.explode(F.array("subj_surface", "obj_surface"))
+                    .alias("surface"))
+            .withColumn("norm", normalize_surface_col(F.col("surface")))
+            .groupBy("norm").agg(F.count("*").alias("n_mentions")))
+    return (links.filter(F.col("method") == "fallback")
+            .select("norm", F.col("canonical_key").alias("suggested_key"))
+            .join(freq, on="norm", how="left")
+            .withColumn("n_mentions",
+                        F.coalesce("n_mentions", F.lit(0))))
+
+
 def lsh_bucket_stats(alias_dict: DataFrame) -> DataFrame:
     """Diagnostic: LSH bucket-size distribution on the dictionary side
     (the 'no silent caps' counter — SURVEY.md §4)."""

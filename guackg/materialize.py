@@ -36,11 +36,26 @@ from guackg.link import normalize_surface_col
 
 def kind_of_key(col: F.Column) -> F.Column:
     """Entity kind derived from the canonical-key namespace
-    (ent:<kind>/<slug>; anything else is an external identity)."""
+    (ent:<kind>/<slug>; page:<sha256> is a document node; anything
+    else is an external identity)."""
     return F.when(col.startswith("ent:guac/"), F.lit("unlinked")) \
         .when(col.startswith("ent:"),
               F.regexp_extract(col, r"^ent:([a-z]+)/", 1)) \
+        .when(col.startswith("page:"), F.lit("page")) \
         .otherwise(F.lit("external"))
+
+
+# link-method confidence ranks (C11 MatchFlags analog: the reference
+# splits version-level vs name-level matches on every pkg predicate,
+# bulk.go:334-365 / parser/common/helpers.go:125-131; here the levels
+# are dictionary-exact / LSH-fuzzy / unlinked-fallback)
+_METHOD_RANK = {"dict": 2, "lsh": 1, "fallback": 0}
+MATCH_LEVELS = ["unlinked", "fuzzy", "exact"]  # index == rank
+
+
+def match_level_col(rank_col: F.Column) -> F.Column:
+    return F.element_at(F.array(*[F.lit(x) for x in MATCH_LEVELS]),
+                        rank_col.cast("int") + 1)
 
 
 def resolve_triples(triples: DataFrame, links: DataFrame,
@@ -50,26 +65,37 @@ def resolve_triples(triples: DataFrame, links: DataFrame,
 
     Two hash joins against the links table (small relative to triples;
     broadcast at test scale, shuffle join at web scale) + two CC
-    rewrites."""
-    link_map = links.select("norm", "canonical_key")
+    rewrites. Each triple carries `match_level` (C11): the weaker of
+    its two endpoints' link methods — exact (both dictionary), fuzzy
+    (an LSH endpoint), unlinked (a fallback endpoint)."""
+    rank = F.when(F.col("method") == "dict", 2) \
+        .when(F.col("method") == "lsh", 1).otherwise(0)
+    link_map = links.select("norm", "canonical_key", rank.alias("rank"))
     t = triples.withColumn("subj_norm",
                            normalize_surface_col(F.col("subj_surface"))) \
                .withColumn("obj_norm",
                            normalize_surface_col(F.col("obj_surface")))
     t = t.join(link_map.withColumnRenamed("norm", "subj_norm")
-               .withColumnRenamed("canonical_key", "subj_key"),
+               .withColumnRenamed("canonical_key", "subj_key")
+               .withColumnRenamed("rank", "subj_rank"),
                on="subj_norm", how="left")
     t = t.join(link_map.withColumnRenamed("norm", "obj_norm")
-               .withColumnRenamed("canonical_key", "obj_key"),
+               .withColumnRenamed("canonical_key", "obj_key")
+               .withColumnRenamed("rank", "obj_rank"),
                on="obj_norm", how="left")
     t = t.withColumn("subj_key", F.coalesce(
             "subj_key", F.concat(F.lit("ent:guac/"), F.col("subj_norm")))) \
          .withColumn("obj_key", F.coalesce(
-            "obj_key", F.concat(F.lit("ent:guac/"), F.col("obj_norm"))))
+            "obj_key", F.concat(F.lit("ent:guac/"), F.col("obj_norm")))) \
+         .withColumn("match_rank",
+                     F.least(F.coalesce("subj_rank", F.lit(0)),
+                             F.coalesce("obj_rank", F.lit(0))))
     t = canonicalize_keys(t, "subj_key", components)
     t = canonicalize_keys(t, "obj_key", components)
     return t.select("url", "warc_ts", "subj_key", "pred", "obj_key",
-                    "subj_surface", "obj_surface", "extractor")
+                    "subj_surface", "obj_surface", "extractor",
+                    match_level_col(F.col("match_rank"))
+                    .alias("match_level"))
 
 
 def build_nodes(resolved: DataFrame, components: DataFrame) -> DataFrame:
@@ -96,13 +122,52 @@ def build_edges(resolved: DataFrame) -> DataFrame:
     isDependency.go:109-149): n_evidence counts DISTINCT
     (url, extractor) witnesses per edge — one shuffle, with first/last
     seen over all sightings (deterministic, unlike dedup-then-min
-    which keeps an arbitrary row's timestamp per duplicate tuple)."""
-    return (resolved.groupBy("subj_key", "pred", "obj_key")
+    which keeps an arbitrary row's timestamp per duplicate tuple).
+    `match_level` keeps the STRONGEST evidence level seen for the
+    edge (C11: an edge proven by a dictionary match stays 'exact'
+    even if a fuzzy sighting also exists)."""
+    src = resolved
+    if "match_level" not in src.columns:
+        src = src.withColumn("match_level", F.lit("exact"))
+    rank = F.when(F.col("match_level") == "exact", 2) \
+        .when(F.col("match_level") == "fuzzy", 1).otherwise(0)
+    return (src.withColumn("_rank", rank)
+            .groupBy("subj_key", "pred", "obj_key")
             .agg(F.countDistinct("url", "extractor").alias("n_evidence"),
                  F.min("warc_ts").alias("first_seen"),
-                 F.max("warc_ts").alias("last_seen"))
+                 F.max("warc_ts").alias("last_seen"),
+                 F.max("_rank").alias("_best_rank"))
             .select(F.xxhash64("subj_key").alias("src_id"),
                     "pred",
                     F.xxhash64("obj_key").alias("dst_id"),
                     "n_evidence", "first_seen", "last_seen",
+                    match_level_col(F.col("_best_rank"))
+                    .alias("match_level"),
                     "subj_key", "obj_key"))
+
+
+def page_mention_rows(resolved: DataFrame,
+                      page_keys: DataFrame) -> DataFrame:
+    """page→entity `mentions` evidence rows in the resolved-triples
+    shape, ready to union into build_nodes/build_edges input — the
+    HasSBOM page-digest link (T9/T10, parser/common/
+    helpers.go:110-123: the document node points at everything it
+    attests). One row per (page, mentioned entity) sighting; the
+    downstream edge agg dedups and counts evidence as usual.
+
+    page_keys: (url, page_key) — from `guackg.triples.page_nodes`
+    output via 'page:' || page_sha256."""
+    mentions = (resolved
+                .select("url", "warc_ts", "extractor",
+                        F.explode(F.array("subj_key", "obj_key"))
+                        .alias("obj_key"))
+                .join(page_keys, on="url"))
+    return mentions.select(
+        "url", "warc_ts",
+        F.col("page_key").alias("subj_key"),
+        F.lit("mentions").alias("pred"),
+        "obj_key",
+        F.col("page_key").alias("subj_surface"),
+        F.col("obj_key").alias("obj_surface"),
+        "extractor",
+        F.lit("exact").alias("match_level"))

@@ -23,12 +23,13 @@ from guackg.cc import connected_components
 from guackg.extract import extract, valid_col
 from guackg.lineage import Lineage
 from guackg.link import (distinct_mentions, equivalence_edges_from_links,
-                         link_mentions)
-from guackg.materialize import build_edges, build_nodes, resolve_triples
-from guackg.triples import EXTRACTOR_VERSION, extract_triples
+                         identifier_candidates, link_mentions)
+from guackg.materialize import (build_edges, build_nodes,
+                                page_mention_rows, resolve_triples)
+from guackg.triples import EXTRACTOR_VERSION, extract_triples, page_nodes
 
 STAGES = ("extract", "triples", "link", "canonicalize", "materialize")
-PIPELINE_VERSION = "0.2"  # bump invalidates lineage of older layouts
+PIPELINE_VERSION = "0.3"  # bump invalidates lineage of older layouts
 
 
 def _fingerprint(*parts: object) -> str:
@@ -75,6 +76,7 @@ class KGPipeline:
         assertions: DataFrame | None = None,
         stages: tuple[str, ...] = STAGES,
         input_fingerprint: str = "",
+        include_page_graph: bool = True,
     ) -> dict[str, DataFrame]:
         fp_base = _fingerprint(PIPELINE_VERSION, EXTRACTOR_VERSION,
                                input_fingerprint)
@@ -100,6 +102,22 @@ class KGPipeline:
             out["triples"] = self._run_stage(
                 "triples", _fingerprint(fp_base, "triples"),
                 lambda: extract_triples(out["extracted"]))
+            # T4 tombstones: pages that were scanned (valid, en) but
+            # yielded ZERO triples — guac's noVuln "scanned and clean"
+            # rows (parser/vuln/vuln.go:65-168), so 'clean' is
+            # distinguishable from 'never scanned' (non-en pages are
+            # never scanned and are NOT tombstoned).
+            def _tombstones():
+                scanned = out["extracted"].filter(F.col("lang") == "en") \
+                    .select("url", "warc_ts")
+                return (scanned
+                        .join(out["triples"].select("url").distinct(),
+                              on="url", how="left_anti")
+                        .withColumn("extractor", F.lit(EXTRACTOR_VERSION))
+                        .withColumn("reason", F.lit("no_mentions")))
+            out["tombstones"] = self._run_stage(
+                "tombstones", _fingerprint(fp_base, "tombstones"),
+                _tombstones)
         else:
             return out
 
@@ -120,6 +138,13 @@ class KGPipeline:
                 "equivalence_edges",
                 _fingerprint(fp_base, "equivalence_edges"),
                 lambda: equivalence_edges_from_links(out["links"]))
+            # S9/T12 identifier side-channel: unresolved surfaces +
+            # mention counts, posted for later dictionary enrichment
+            # (the collectsub feedback loop, ingestor.go:168-180)
+            out["identifier_candidates"] = self._run_stage(
+                "identifier_candidates",
+                _fingerprint(fp_base, "identifier_candidates"),
+                lambda: identifier_candidates(out["links"], out["triples"]))
         else:
             return out
 
@@ -141,15 +166,28 @@ class KGPipeline:
                                        out["components"])
             out["triples_resolved"] = self._run_stage(
                 "materialize", _fingerprint(fp_base, "materialize"), _resolve)
+            edge_input = out["triples_resolved"]
+            if include_page_graph:
+                # T9/T10: the page document node (sha256 identity)
+                # plus page→entity `mentions` edges join the SAME
+                # nodes/edges tables through the same evidence agg —
+                # partitioned under pred=mentions, so the merge's
+                # partition pruning keeps predicate queries unaffected
+                page_keys = page_nodes(pages).select(
+                    "url", F.concat(F.lit("page:"),
+                                    F.col("page_sha256"))
+                    .alias("page_key"))
+                edge_input = edge_input.unionByName(
+                    page_mention_rows(out["triples_resolved"], page_keys))
             # nodes before edges — the assembler's fixed write order
             # (bulk.go:29-191)
             t0 = time.time()
-            nodes = build_nodes(out["triples_resolved"], out["components"])
+            nodes = build_nodes(edge_input, out["components"])
             gio.merge_upsert(self.spark, nodes, self._out("nodes"),
                              keys=["canonical_key"], partition_by=["kind"])
             self.stage_secs["nodes_merge"] = round(time.time() - t0, 2)
             t0 = time.time()
-            edges = build_edges(out["triples_resolved"])
+            edges = build_edges(edge_input)
             gio.merge_upsert(self.spark, edges, self._out("edges"),
                              keys=["subj_key", "pred", "obj_key"],
                              partition_by=["pred"])

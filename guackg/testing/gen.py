@@ -29,6 +29,7 @@ Key properties planted on purpose:
 
 from __future__ import annotations
 
+import json
 import random
 from dataclasses import dataclass, field
 
@@ -57,6 +58,13 @@ _DE_SENTS = ["Der Bericht wurde sorgfältig geprüft und veröffentlicht.",
              "Die Ergebnisse zeigen eine stabile Entwicklung der Märkte."]
 _FR_SENTS = ["Le rapport a été soigneusement vérifié et publié.",
              "Les résultats montrent une évolution stable des marchés."]
+
+# forward predicate ids for the structured-JSON dialect (direction is
+# already normalized in structured data — no inverse surfaces)
+_JSON_PREDS = sorted({p for p, inv in ALL_PRED_SURFACES.values() if not inv})
+
+JSON_PAGE_RATE = 0.08      # share of en pages in the structured dialect
+JSON_MALFORMED_RATE = 0.03  # of json pages: truncated -> parser yields 0
 
 
 def surface_key(surface: str) -> str:
@@ -238,6 +246,40 @@ def gen_page(i: int, seed: int = SEED) -> dict:
     title = f"Bulletin {i}"
     sents: list[str] = []
     golden: list[dict] = []
+    if lang == "en" and rng.random() < JSON_PAGE_RATE:
+        # ---- structured-JSON dialect page (second parser, SURVEY T2)
+        triples_json: list[dict] = []
+        for _ in range(rng.randint(10, 30)):
+            si = _zipf_idx(rng, len(ctx.entities), 4.0)
+            oi = _zipf_idx(rng, len(ctx.entities), 4.0)
+            if oi == si:
+                oi = (oi + 1) % len(ctx.entities)
+            subj_e, obj_e = ctx.entities[si], ctx.entities[oi]
+            ssurf, _ = _pick_surface(rng, ctx, subj_e)
+            osurf, _ = _pick_surface(rng, ctx, obj_e)
+            if rng.random() < 0.02:  # unknown predicate id: parser drops it
+                triples_json.append({"s": ssurf, "p": "bogus_rel",
+                                     "o": osurf})
+                continue
+            pred = _JSON_PREDS[rng.randrange(len(_JSON_PREDS))]
+            triples_json.append({"s": ssurf, "p": pred, "o": osurf})
+            golden.append({"url": url,
+                           "subj_key": ctx.final_key(subj_e["canonical_key"]),
+                           "pred": pred,
+                           "obj_key": ctx.final_key(obj_e["canonical_key"]),
+                           "subj_surface": ssurf, "obj_surface": osurf})
+        filler_words = " ".join(rng.choice(_FILLER)
+                                for _ in range(rng.randint(300, 800)))
+        body = json.dumps({"title": title, "triples": triples_json,
+                           "filler": filler_words},
+                          separators=(",", ":"))
+        html_bytes = body.encode("utf-8")
+        if rng.random() < JSON_MALFORMED_RATE:
+            html_bytes = html_bytes[:-20]  # malformed: scanned, 0 triples
+            golden = []
+        text = extract_text_bytes(html_bytes)
+        return {"url": url, "warc_ts": warc_ts, "html": html_bytes,
+                "text": text, "lang": lang, "_golden": golden}
     if lang == "en":
         # 30-80 entity sentences / page ⇒ ~6-16 KB extracted text —
         # Common-Crawl-realistic weight, so benchmark runs are

@@ -6,6 +6,25 @@ turning a blob into typed edge lists
 model parser, parser/spdx/parse_spdx.go) — as ONE vectorized
 `mapInPandas` UDTF: each input row (page) yields 0..N triple rows.
 
+PARSER REGISTRY (the reference's extensibility story —
+parser/parser.go:43-60 registers 11 document parsers keyed by
+DocumentType; the processor guesses the type first,
+guesser/guesser.go:25-51): two dialects here, routed per row by a
+format discriminator on the extracted text:
+
+- "text"  — the sentence grammar below (the SPDX-tag-value analog:
+  free-form surface text with a closed predicate lexicon);
+- "json"  — structured pages whose body is a compact JSON object
+  `{"triples": [{"s": …, "p": pred_id, "o": …}, …]}` (the
+  SPDX-JSON / JSON-LD analog: explicit, pre-normalized relations).
+  Unknown predicate ids and malformed JSON are dropped row-wise —
+  the parser-validation semantics of parse_spdx.go's rel map lookup
+  (unknown relationship → skipped, never a crash).
+
+Every triple is stamped `extractor = {EXTRACTOR_VERSION}/{dialect}` —
+per-parser lineage identity (the DSSE identity analog, T7), so
+evidence from different dialects stays distinguishable downstream.
+
 Semantics carried over from the reference:
 - direction normalization: inverse predicate surfaces swap
   subject/object, like DEPENDS_ON vs DEPENDENCY_OF
@@ -27,6 +46,7 @@ first.
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Iterator
 
@@ -38,7 +58,11 @@ from pyspark.sql.types import (StringType, StructField, StructType,
 
 from guackg.vocab import ALL_PRED_SURFACES, PRED_SURFACES_BY_LEN
 
-EXTRACTOR_VERSION = "guackg-openie-0.1"
+EXTRACTOR_VERSION = "guackg-openie-0.2"
+
+# valid predicate ids for the structured dialect (closed vocabulary —
+# the rel-map validation of parse_spdx.go:434-453)
+VALID_PRED_IDS = frozenset(p for p, _inv in ALL_PRED_SURFACES.values())
 
 _SENT_SPLIT_RE = re.compile(r"(?<=\.)[ \t]+|\n+")
 _CAP_TOKEN_RE = re.compile(r"^[A-Z0-9][\w'-]*$")
@@ -101,6 +125,41 @@ def extract_triples_from_text(text: str) -> list[tuple[str, str, str]]:
     return out
 
 
+def parse_structured_json(text: str) -> list[tuple[str, str, str]]:
+    """Structured dialect: compact JSON page → triples. Malformed
+    documents and unknown predicate ids yield nothing (row-wise skip,
+    never an exception — the processor's per-document error becomes a
+    tombstone downstream)."""
+    try:
+        obj = json.loads(text)
+    except (ValueError, TypeError):
+        return []
+    if not isinstance(obj, dict):
+        return []
+    out: list[tuple[str, str, str]] = []
+    for t in obj.get("triples", []):
+        if not isinstance(t, dict):
+            continue
+        s, p, o = t.get("s"), t.get("p"), t.get("o")
+        if s and o and p in VALID_PRED_IDS:
+            out.append((str(s), str(p), str(o)))
+    return out
+
+
+# dialect registry: format id -> pure text->triples function
+PARSERS: dict[str, object] = {
+    "text": extract_triples_from_text,
+    "json": parse_structured_json,
+}
+
+
+def guess_format(text: str) -> str:
+    """P2 format discriminator (guesser.go:25-51): structured pages
+    are compact JSON objects, so a leading '{' routes to the json
+    parser; everything else is sentence text."""
+    return "json" if text.lstrip()[:1] == "{" else "text"
+
+
 def extract_triples(pages_with_text: DataFrame,
                     text_col: str = "extracted_text") -> DataFrame:
     """pages(url, warc_ts, <text_col>, lang) → triples DataFrame.
@@ -116,24 +175,26 @@ def extract_triples(pages_with_text: DataFrame,
 
     def udtf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, tss, subjs, preds, objs = [], [], [], [], []
+            urls, tss, subjs, preds, objs, exts = [], [], [], [], [], []
             for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
                 if not text:
                     continue
-                for s, p, o in extract_triples_from_text(text):
+                fmt = guess_format(text)
+                stamp = f"{EXTRACTOR_VERSION}/{fmt}"
+                for s, p, o in PARSERS[fmt](text):
                     urls.append(url)
                     tss.append(ts)
                     subjs.append(s)
                     preds.append(p)
                     objs.append(o)
+                    exts.append(stamp)
             yield pd.DataFrame({
                 "url": pd.Series(urls, dtype="object"),
                 "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
                 "subj_surface": pd.Series(subjs, dtype="object"),
                 "pred": pd.Series(preds, dtype="object"),
                 "obj_surface": pd.Series(objs, dtype="object"),
-                "extractor": pd.Series([EXTRACTOR_VERSION] * len(urls),
-                                       dtype="object"),
+                "extractor": pd.Series(exts, dtype="object"),
             })
 
     return src.mapInPandas(udtf, schema=TRIPLE_SCHEMA)

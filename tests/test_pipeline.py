@@ -50,8 +50,71 @@ def test_nodes_edges_shape(pipeline_out):
     nk = nodes.select(F.col("canonical_key").alias("subj_key"))
     assert out["edges"].join(nk, on="subj_key", how="left_anti").count() == 0
     kinds = {r.kind for r in nodes.select("kind").distinct().collect()}
-    assert kinds <= {"person", "org", "place", "thing", "unlinked", "external"}
+    assert kinds <= {"person", "org", "place", "thing", "unlinked",
+                     "external", "page"}
     assert edges.filter(F.col("n_evidence") < 1).count() == 0
+
+
+def test_page_graph_wired(pipeline_out):
+    """T9/T10: page document nodes (sha256 identity) and page→entity
+    `mentions` edges are materialized alongside predicate edges."""
+    _, out = pipeline_out
+    page_nodes_n = out["nodes"].filter(F.col("kind") == "page").count()
+    assert page_nodes_n > 0
+    m = out["edges"].filter(F.col("pred") == "mentions")
+    assert m.count() > 0
+    # every mentions edge starts at a page node and ends at a non-page
+    assert m.filter(~F.col("subj_key").startswith("page:")).count() == 0
+    assert m.filter(F.col("obj_key").startswith("page:")).count() == 0
+
+
+def test_match_level_edges(pipeline_out):
+    """C11: every edge carries a match_level; dictionary-linked
+    evidence dominates the corpus so 'exact' must be present, and the
+    planted typo surfaces must produce 'fuzzy' links."""
+    _, out = pipeline_out
+    lv = {r.match_level
+          for r in out["edges"].select("match_level").distinct().collect()}
+    assert lv <= {"exact", "fuzzy", "unlinked"}
+    assert "exact" in lv
+    assert "fuzzy" in lv  # typo surfaces resolve via LSH
+
+
+def test_tombstones_scanned_clean(spark, corpus, pipeline_out):
+    """T4: en pages with zero triples get a tombstone row; non-en
+    pages (never scanned) do not."""
+    _, out = pipeline_out
+    tomb = {r.url for r in out["tombstones"].collect()}
+    triple_urls = {r.url for r in
+                   out["triples"].select("url").distinct().collect()}
+    pages = corpus["pages"]
+    en_urls = set(pages[pages["lang"] == "en"]["url"])
+    non_en = set(pages[pages["lang"] != "en"]["url"])
+    assert tomb.isdisjoint(triple_urls)
+    assert tomb.isdisjoint(non_en)
+    assert tomb == en_urls - triple_urls
+
+
+def test_identifier_candidates_feedback_loop(spark, pipeline_out,
+                                             alias_df):
+    """S9/T12 + §3.3 enrichment cycle: unresolved surfaces are posted
+    as identifier candidates; feeding them back into the alias
+    dictionary resolves them as `dict` on the next link pass."""
+    from guackg.link import link_mentions
+    _, out = pipeline_out
+    cand = out["identifier_candidates"]
+    rows = cand.collect()
+    assert len(rows) > 0
+    assert all(r.n_mentions >= 1 for r in rows)
+    assert all(r.suggested_key.startswith("ent:guac/") for r in rows)
+    # close the loop: enriched dictionary resolves the former fallbacks
+    enriched = alias_df.unionByName(
+        cand.select(F.col("norm").alias("surface"),
+                    F.col("suggested_key").alias("canonical_key"),
+                    F.lit("candidate").alias("kind")))
+    relinked, _ = link_mentions(
+        cand.select("norm").limit(20), enriched)
+    assert all(r.method == "dict" for r in relinked.collect())
 
 
 def test_run_twice_idempotent(spark, corpus, pages_df, alias_df,

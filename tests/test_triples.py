@@ -6,7 +6,9 @@ planted sentences."""
 from pyspark.sql import functions as F
 
 from guackg.extract import extract
-from guackg.triples import extract_triples, extract_triples_from_text
+from guackg.triples import (PARSERS, extract_triples,
+                            extract_triples_from_text, guess_format,
+                            parse_structured_json)
 
 
 def test_grammar_basics():
@@ -46,10 +48,35 @@ def test_spark_triples_match_pure_python(spark, corpus, pages_df):
     for _, row in corpus["pages"].iterrows():
         if row.lang != "en":
             continue
-        for s, p, o in extract_triples_from_text(row.text):
+        for s, p, o in PARSERS[guess_format(row.text)](row.text):
             expect.add((row.url, s, p, o))
     assert got_set == expect
     assert len(rows) > 0
+
+
+def test_structured_json_dialect():
+    doc = ('{"title":"x","triples":['
+           '{"s":"Ada Lovelace","p":"wrote","o":"Compiler X"},'
+           '{"s":"Acme Industries","p":"bogus_rel","o":"Widget X"},'
+           '{"s":"","p":"wrote","o":"Widget X"}],"filler":"y"}')
+    assert guess_format(doc) == "json"
+    # valid triple kept; unknown pred id and empty subject dropped
+    assert parse_structured_json(doc) == \
+        [("Ada Lovelace", "wrote", "Compiler X")]
+    # malformed JSON: scanned, zero triples, no exception
+    assert parse_structured_json(doc[:-10]) == []
+    assert parse_structured_json("[1,2,3]") == []
+    assert guess_format("Ada Lovelace wrote Compiler X.") == "text"
+
+
+def test_dialect_stamped_in_extractor(spark, corpus, pages_df):
+    """Per-parser lineage identity (T7): extractor column ends with
+    the dialect id, and the corpus exercises BOTH dialects."""
+    got = extract_triples(extract(pages_df))
+    stamps = {r.extractor for r in
+              got.select("extractor").distinct().collect()}
+    assert any(s.endswith("/text") for s in stamps)
+    assert any(s.endswith("/json") for s in stamps)
 
 
 def test_non_en_pages_skipped(spark, pages_df):
