@@ -54,7 +54,8 @@ def write_table(df: DataFrame, path: str,
 
 def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
                  keys: list[str],
-                 partition_by: list[str] | None = None) -> None:
+                 partition_by: list[str] | None = None,
+                 assume_unique: bool = False) -> None:
     """Keyed upsert: incoming rows replace existing rows with the same
     key (guac's find-or-create trie upsert, pkg.go:344-434; on Iceberg
     this whole function is one `MERGE INTO target USING df ON keys
@@ -70,11 +71,14 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     nodes[kind←canonical_key] and edges[pred∈keys]), so a key can
     never move between partitions.
 
-    `keys` must be unique within `df`; this is enforced (cheap
-    dropDuplicates relative to the write) so first-write and merge
-    semantics are identical.
+    `keys` must be unique within `df`; this is enforced with a
+    dropDuplicates so first-write and merge semantics are identical —
+    UNLESS the caller passes `assume_unique=True`, asserting the
+    frame is already key-unique (e.g. it is a groupBy on the keys, or
+    a union of keyed aggregates over disjoint key namespaces). The
+    flag removes a full-frame shuffle from the sink.
     """
-    new = df.dropDuplicates(keys)
+    new = df if assume_unique else df.dropDuplicates(keys)
     if not table_exists(path):
         write_table(new, path, partition_by)
         return

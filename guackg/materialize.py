@@ -146,28 +146,45 @@ def build_edges(resolved: DataFrame) -> DataFrame:
                     "subj_key", "obj_key"))
 
 
-def page_mention_rows(resolved: DataFrame,
-                      page_keys: DataFrame) -> DataFrame:
-    """page→entity `mentions` evidence rows in the resolved-triples
-    shape, ready to union into build_nodes/build_edges input — the
-    HasSBOM page-digest link (T9/T10, parser/common/
-    helpers.go:110-123: the document node points at everything it
-    attests). One row per (page, mentioned entity) sighting; the
-    downstream edge agg dedups and counts evidence as usual.
+def page_mention_edges(resolved: DataFrame,
+                       page_keys: DataFrame) -> DataFrame:
+    """AGGREGATED page→entity `mentions` edges in the build_edges
+    output shape — the HasSBOM page-digest link (T9/T10,
+    parser/common/helpers.go:110-123: the document node points at
+    everything it attests).
 
-    page_keys: (url, page_key) — from `guackg.triples.page_nodes`
-    output via 'page:' || page_sha256."""
+    Deliberately NOT routed through build_edges: the page key is 1:1
+    with url, so evidence identity collapses to the extractor alone —
+    grouping directly by (page_key, obj_key) skips the generic
+    countDistinct(url, extractor) expansion over the exploded mention
+    rows (2× the triple count), and the entity node set is untouched
+    (page nodes are appended separately by `page_node_rows`).
+
+    page_keys: (url, page_key) from `guackg.triples.page_nodes` via
+    'page:' || page_sha256."""
     mentions = (resolved
                 .select("url", "warc_ts", "extractor",
                         F.explode(F.array("subj_key", "obj_key"))
                         .alias("obj_key"))
                 .join(page_keys, on="url"))
-    return mentions.select(
-        "url", "warc_ts",
-        F.col("page_key").alias("subj_key"),
-        F.lit("mentions").alias("pred"),
-        "obj_key",
-        F.col("page_key").alias("subj_surface"),
-        F.col("obj_key").alias("obj_surface"),
-        "extractor",
-        F.lit("exact").alias("match_level"))
+    return (mentions
+            .groupBy(F.col("page_key").alias("subj_key"),
+                     F.col("obj_key"))
+            .agg(F.countDistinct("extractor").alias("n_evidence"),
+                 F.min("warc_ts").alias("first_seen"),
+                 F.max("warc_ts").alias("last_seen"))
+            .select(F.xxhash64("subj_key").alias("src_id"),
+                    F.lit("mentions").alias("pred"),
+                    F.xxhash64("obj_key").alias("dst_id"),
+                    "n_evidence", "first_seen", "last_seen",
+                    F.lit("exact").alias("match_level"),
+                    "subj_key", "obj_key"))
+
+
+def page_node_rows(page_keys: DataFrame) -> DataFrame:
+    """Page document nodes in the nodes-table shape (distinct by
+    sha256 identity — duplicate html bodies collapse)."""
+    return (page_keys.select(F.col("page_key").alias("canonical_key"))
+            .dropDuplicates(["canonical_key"])
+            .select(F.xxhash64("canonical_key").alias("entity_id"),
+                    F.lit("page").alias("kind"), "canonical_key"))

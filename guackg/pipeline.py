@@ -25,7 +25,8 @@ from guackg.lineage import Lineage
 from guackg.link import (distinct_mentions, equivalence_edges_from_links,
                          identifier_candidates, link_mentions)
 from guackg.materialize import (build_edges, build_nodes,
-                                page_mention_rows, resolve_triples)
+                                page_mention_edges, page_node_rows,
+                                resolve_triples)
 from guackg.triples import EXTRACTOR_VERSION, extract_triples, page_nodes
 
 STAGES = ("extract", "triples", "link", "canonicalize", "materialize")
@@ -166,31 +167,41 @@ class KGPipeline:
                                        out["components"])
             out["triples_resolved"] = self._run_stage(
                 "materialize", _fingerprint(fp_base, "materialize"), _resolve)
-            edge_input = out["triples_resolved"]
+            # T9/T10: page document nodes (sha256 identity) and
+            # page→entity `mentions` edges land in the SAME nodes/
+            # edges tables, but via their own pre-aggregated rows —
+            # partitioned under pred=mentions / kind=page, so the
+            # merge's partition pruning keeps predicate queries and
+            # the entity-node dedup unaffected by the page graph.
+            page_keys = None
             if include_page_graph:
-                # T9/T10: the page document node (sha256 identity)
-                # plus page→entity `mentions` edges join the SAME
-                # nodes/edges tables through the same evidence agg —
-                # partitioned under pred=mentions, so the merge's
-                # partition pruning keeps predicate queries unaffected
                 page_keys = page_nodes(pages).select(
                     "url", F.concat(F.lit("page:"),
                                     F.col("page_sha256"))
                     .alias("page_key"))
-                edge_input = edge_input.unionByName(
-                    page_mention_rows(out["triples_resolved"], page_keys))
             # nodes before edges — the assembler's fixed write order
             # (bulk.go:29-191)
             t0 = time.time()
-            nodes = build_nodes(edge_input, out["components"])
+            nodes = build_nodes(out["triples_resolved"], out["components"])
+            if page_keys is not None:
+                nodes = nodes.unionByName(page_node_rows(page_keys))
+            # assume_unique: build_nodes dedups on canonical_key and the
+            # page: namespace is disjoint from every entity namespace
             gio.merge_upsert(self.spark, nodes, self._out("nodes"),
-                             keys=["canonical_key"], partition_by=["kind"])
+                             keys=["canonical_key"], partition_by=["kind"],
+                             assume_unique=True)
             self.stage_secs["nodes_merge"] = round(time.time() - t0, 2)
             t0 = time.time()
-            edges = build_edges(edge_input)
+            edges = build_edges(out["triples_resolved"])
+            if page_keys is not None:
+                edges = edges.unionByName(
+                    page_mention_edges(out["triples_resolved"], page_keys))
+            # assume_unique: both branches are groupBys on the edge key
+            # and pred='mentions' is disjoint from the predicate vocab
             gio.merge_upsert(self.spark, edges, self._out("edges"),
                              keys=["subj_key", "pred", "obj_key"],
-                             partition_by=["pred"])
+                             partition_by=["pred"],
+                             assume_unique=True)
             self.stage_secs["edges_merge"] = round(time.time() - t0, 2)
             out["nodes"] = gio.read_table(self.spark, self._out("nodes"))
             out["edges"] = gio.read_table(self.spark, self._out("edges"))
