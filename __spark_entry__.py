@@ -126,24 +126,86 @@ def _q_multimodal_metadata(spark, sf_dir):
 
 def _q_multimodal_decode(spark, sf_dir):
     # the driver's canonicalizer sorts column VALUES, so the
-    # array<float> features column must be projected to a hashable
-    # scalar here (round to 5dp → stable CSV string); pytest
-    # (tests/test_multimodal.py) pins the raw array form
+    # array<float> features column is projected to a hashable scalar:
+    # the L1-normalized histogram × body length rounds back to the
+    # EXACT integer bin counts (float32 rel-error ≪ 0.5/count), which
+    # the DuckDB oracle recomputes from hex digits — no float-rounding
+    # boundary cases. pytest (tests/test_multimodal.py) pins the raw
+    # float array form.
     from guackg.ops.multimodal import as_media_table, decode_media
-    decoded = decode_media(as_media_table(_docs(spark, sf_dir)))
+    media = as_media_table(_docs(spark, sf_dir))
+    nb = media.select("media_id", (F.length("payload") - 4).alias("nb"))
+    decoded = decode_media(media).join(nb, on="media_id")
     return decoded.select(
         "media_id", "kind", "width", "height", "n_frames",
         F.array_join(
             F.transform("features",
-                        lambda v: F.round(v.cast("double"), 5)
-                        .cast("string")), ",").alias("features_csv"),
+                        lambda v: F.round(v.cast("double") * F.col("nb"))
+                        .cast("bigint").cast("string")), ",")
+        .alias("feature_counts"),
     ).orderBy("media_id")
 
 
 def _q_multimodal_frames(spark, sf_dir):
+    # binary frame chunks projected to sha256 so the value hash
+    # round-trips the driver's canonicalizer; the DuckDB oracle
+    # re-slices the (all-ASCII) body and hashes the same bytes
     from guackg.ops.multimodal import as_media_table, sample_frames
     return sample_frames(as_media_table(_docs(spark, sf_dir))) \
+        .select("media_id", "frame_idx",
+                F.sha2("frame", 256).alias("frame_sha256")) \
         .orderBy("media_id", "frame_idx")
+
+
+def _q_minhash_containment(spark, sf_dir):
+    """Containment gate for the probabilistic MinHash-LSH path: every
+    pair it emits must also be found by the exact O(n²) word-Jaccard
+    op (both verify with the same round-6 Jaccard, so this EXCEPT is
+    exact, not approximate). Expected result: EMPTY — the oracle is
+    the empty relation with the same schema. Recall (the other
+    direction, probabilistic by design) is pinned by pytest ≥ 0.95."""
+    from guackg.ops.dedup import jaccard_word_pairs, minhash_lsh_pairs
+    d = _docs(spark, sf_dir)
+    lsh = minhash_lsh_pairs(d, threshold=0.9)
+    exact = jaccard_word_pairs(d, threshold=0.9)
+    return lsh.exceptAll(exact)
+
+
+def _q_simhash_exactness(spark, sf_dir):
+    """Exactness gate for the banded SimHash path: the pigeonhole
+    banding (max_hamming+1 chunks) guarantees recall 1.0 within the
+    radius and the bit_count verify guarantees precision 1.0, so the
+    banded output must EQUAL the brute-force O(n²) hamming pairs —
+    symmetric difference EMPTY (vs the empty-relation oracle)."""
+    from guackg.ops.dedup import simhash, simhash_near_pairs
+    d = _docs(spark, sf_dir)
+    banded = simhash_near_pairs(d, max_hamming=6)
+    sh = simhash(d)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64")))
+    brute = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+             .withColumn("hamming", ham)
+             .filter(F.col("hamming") <= 6)
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"), "hamming"))
+    return banded.exceptAll(brute).unionAll(brute.exceptAll(banded))
+
+
+def _q_emb_lsh_containment(spark, sf_dir):
+    """Containment gate for hyperplane-LSH near-dup: every emitted
+    pair must appear in the exact O(n²) cosine op with the identical
+    round-6 cosine. Expected EMPTY."""
+    from guackg.ops.similarity import (embedding_near_dup_lsh,
+                                       embedding_near_dup_pairs)
+    e = _emb(spark, sf_dir)
+    lsh = embedding_near_dup_lsh(e, threshold=0.4, n_planes=4, n_tables=16)
+    exact = embedding_near_dup_pairs(e, threshold=0.4)
+    # left-anti join rather than exceptAll: same containment semantics
+    # (lsh rows are already pair-distinct), and it sidesteps a Spark
+    # 4.1 exceptAll attribute-dedup internal error when both sides
+    # share the pandas-UDF-derived expression lineage
+    return lsh.join(exact, on=["vec_a", "vec_b", "cosine"],
+                    how="left_anti")
 
 
 def _q_asof_purchase_view(spark, sf_dir):
@@ -219,6 +281,15 @@ def _q_ann_cosine(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return cosine_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from guackg.ops.similarity import ivf_cosine_topk
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_cosine_topk(e, q, k=5, centroid_stride=32, n_probe=4) \
+        .orderBy("query_id", "rank")
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -332,6 +403,99 @@ def _q_collect_order_history(spark, sf_dir):
                       "n_items").orderBy("o_custkey")
 
 
+def _q_kg_match_levels(spark, sf_dir):
+    """C11 MatchFlags gate: run the REAL `build_edges` evidence rollup
+    (n_evidence = countDistinct(url, extractor), first/last seen,
+    strongest match_level per edge) over resolved triples synthesized
+    deterministically from lineitem⋈orders, against a full SQL oracle.
+    Reference semantics: bulk.go:334-365 version- vs name-level match
+    split; isDependency.go:100-149 exact-tuple evidence identity."""
+    from guackg.materialize import build_edges, match_level_col
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    resolved = (li.join(o, li.l_orderkey == o.o_orderkey)
+                .select(
+                    F.concat(F.lit("page://"), F.col("l_orderkey"))
+                    .alias("url"),
+                    F.col("o_orderdate").alias("warc_ts"),
+                    F.concat(F.lit("c:"), F.col("o_custkey"))
+                    .alias("subj_key"),
+                    F.element_at(
+                        F.array(F.lit("supplies"), F.lit("owns"),
+                                F.lit("partnered_with")),
+                        ((F.col("l_partkey") % 3) + 1).cast("int"))
+                    .alias("pred"),
+                    F.concat(F.lit("s:"), F.col("l_suppkey"))
+                    .alias("obj_key"),
+                    F.element_at(
+                        F.array(F.lit("openie/text"), F.lit("openie/json")),
+                        ((F.col("l_linenumber") % 2) + 1).cast("int"))
+                    .alias("extractor"),
+                    match_level_col(
+                        ((F.col("o_custkey") + F.col("l_suppkey")) % 3)
+                        .cast("int")).alias("match_level")))
+    edges = build_edges(resolved)
+    return edges.select(
+        "subj_key", "pred", "obj_key", "match_level", "n_evidence",
+        "first_seen", "last_seen").orderBy("subj_key", "pred", "obj_key")
+
+
+_ID_DICT = ["the", "a", "data", "join", "merge", "sort", "table", "row"]
+
+
+def _q_kg_identifier_candidates(spark, sf_dir):
+    """S9/T12 identifier side-channel gate: the REAL
+    `guackg.link.identifier_candidates` op (unresolved surfaces +
+    mention frequency + synthesized guac-key) over links/triples
+    synthesized from the documents word stream against an inline
+    dictionary — fully SQL-oracled (the corpus vocabulary is pure
+    [a-z]+, so surface normalization is the identity and DuckDB can
+    replicate every step). Reference: ingestor.go:168-180,
+    collectsub.proto:21-65."""
+    from guackg.link import identifier_candidates, normalize_surface_col
+    d = _docs(spark, sf_dir)
+    words = (d.select(F.explode(
+        F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2))
+    triples = words.select(F.col("w").alias("subj_surface"),
+                           F.col("w").alias("obj_surface"))
+    dict_df = spark.createDataFrame([(w,) for w in _ID_DICT], ["norm"]) \
+        .withColumn("_d", F.lit(1))
+    links = (words.select(normalize_surface_col(F.col("w")).alias("norm"))
+             .distinct()
+             .join(F.broadcast(dict_df), on="norm", how="left")
+             .select(
+                 "norm",
+                 F.when(F.col("_d").isNotNull(),
+                        F.concat(F.lit("ent:word/"), F.col("norm")))
+                 .otherwise(F.concat(F.lit("ent:guac/"), F.col("norm")))
+                 .alias("canonical_key"),
+                 F.when(F.col("_d").isNotNull(), "dict")
+                 .otherwise("fallback").alias("method")))
+    return identifier_candidates(links, triples) \
+        .select("norm", "suggested_key", "n_mentions").orderBy("norm")
+
+
+def _q_kg_tombstones(spark, sf_dir):
+    """T4 noVuln-tombstone gate: 'scanned and clean' rows — en
+    documents whose word stream yields ZERO lexicon mentions — via the
+    same left-anti-join shape as the pipeline's tombstones stage
+    (scanned ANTI JOIN mentions), so 'clean' is distinguishable from
+    'never scanned' (non-en docs are absent, not tombstoned).
+    Reference: parser/vuln/vuln.go:65-168; skipped in BFS at
+    inmem/path.go:314."""
+    d = _docs(spark, sf_dir)
+    mentions = (d.select("doc_id", F.explode(
+        F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.col("w").isin("join", "dup")))
+    scanned = d.filter(F.col("lang") == "en").select("doc_id", "lang")
+    return (scanned
+            .join(mentions.select("doc_id").distinct(),
+                  on="doc_id", how="left_anti")
+            .withColumn("reason", F.lit("no_mentions"))
+            .orderBy("doc_id"))
+
+
 def _feeds_edges(spark, sf_dir):
     """Layered part→supplier→nation→region DAG (shared by toposort
     and affected-roots)."""
@@ -385,14 +549,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_affected_roots": _q_graph_affected_roots,
         "semver_range_match": _q_semver_range_match,
         "collect_order_history": _q_collect_order_history,
+        "kg_match_levels": _q_kg_match_levels,
+        "kg_identifier_candidates": _q_kg_identifier_candidates,
+        "kg_tombstones": _q_kg_tombstones,
         # training-data ops: dedup / similarity / text analysis
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_minhash_containment": _q_minhash_containment,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_simhash_exactness": _q_simhash_exactness,
         "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
+        "emb_lsh_containment": _q_emb_lsh_containment,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
@@ -406,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_word_mentions": _q_word_mentions,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_cosine_topk": _q_ann_lsh,
+        "ann_ivf_cosine_topk": _q_ann_ivf,
     }
 
 
@@ -663,6 +834,130 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INT AS n_items
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
+        "kg_match_levels": """
+            WITH resolved AS (
+                SELECT 'page://' || l_orderkey AS url,
+                       o_orderdate AS warc_ts,
+                       'c:' || o_custkey AS subj_key,
+                       ['supplies','owns','partnered_with']
+                           [(l_partkey % 3)::INT + 1] AS pred,
+                       's:' || l_suppkey AS obj_key,
+                       ['openie/text','openie/json']
+                           [(l_linenumber % 2)::INT + 1] AS extractor,
+                       ((o_custkey + l_suppkey) % 3) AS rank
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT subj_key, pred, obj_key,
+                   ['unlinked','fuzzy','exact'][max(rank)::INT + 1]
+                       AS match_level,
+                   count(DISTINCT (url, extractor)) AS n_evidence,
+                   min(warc_ts) AS first_seen,
+                   max(warc_ts) AS last_seen
+            FROM resolved
+            GROUP BY subj_key, pred, obj_key
+            ORDER BY subj_key, pred, obj_key
+        """,
+        "kg_identifier_candidates": rf"""
+            WITH words AS (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\s+')) AS w
+                FROM documents
+            )
+            SELECT w AS norm,
+                   'ent:guac/' || w AS suggested_key,
+                   2 * count(*) AS n_mentions
+            FROM words
+            WHERE length(w) >= 2
+              AND w NOT IN ({", ".join("'" + w + "'" for w in _ID_DICT)})
+            GROUP BY w
+            ORDER BY norm
+        """,
+        "kg_tombstones": r"""
+            SELECT doc_id, lang, 'no_mentions' AS reason
+            FROM documents d
+            WHERE lang = 'en' AND NOT EXISTS (
+                SELECT 1 FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\s+')) AS w
+                    FROM documents) m
+                WHERE m.doc_id = d.doc_id AND m.w IN ('join', 'dup'))
+            ORDER BY doc_id
+        """,
+        "dedup_minhash_containment": """
+            SELECT doc_id AS doc_a, doc_id AS doc_b,
+                   0.0::DOUBLE AS jaccard
+            FROM documents WHERE 1 = 0
+        """,
+        "dedup_simhash_exactness": """
+            SELECT doc_id AS doc_a, doc_id AS doc_b,
+                   0::BIGINT AS hamming
+            FROM documents WHERE 1 = 0
+        """,
+        "emb_lsh_containment": """
+            SELECT vec_id AS vec_a, vec_id AS vec_b,
+                   0.0::DOUBLE AS cosine
+            FROM embeddings WHERE 1 = 0
+        """,
+        "multimodal_decode": r"""
+            -- the DECODE STUB is a pure function of the payload bytes;
+            -- DuckDB recomputes it from hex digits: width/height from
+            -- the first 8/next 8 byte sums, features as the 16-bin
+            -- high-nibble histogram COUNTS (the Spark side multiplies
+            -- the L1-normalized float32 bins back by the body length,
+            -- which rounds to the exact integer counts)
+            WITH media AS (
+                SELECT doc_id AS media_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS kind,
+                       hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS nb
+                FROM documents
+            ), b AS (
+                SELECT media_id, kind, nb,
+                       list_transform(range(0, least(nb, 16)),
+                           i -> (strpos('0123456789ABCDEF',
+                                        substr(h, (2*i+1)::INT, 1)) - 1) * 16
+                                + strpos('0123456789ABCDEF',
+                                         substr(h, (2*i+2)::INT, 1)) - 1)
+                           AS head,
+                       list_transform(range(0, nb),
+                           i -> substr(h, (2*i+1)::INT, 1)) AS hi
+                FROM media
+            )
+            SELECT media_id, kind,
+                   (16 + (coalesce(list_sum(head[1:8]), 0) % 48))::INT
+                       AS width,
+                   (CASE WHEN nb >= 16
+                         THEN 16 + (list_sum(head[9:16]) % 48)
+                         ELSE 16 END)::INT AS height,
+                   (CASE WHEN kind = 'video' THEN greatest(1, nb // 256)
+                         ELSE 1 END)::INT AS n_frames,
+                   array_to_string(list_transform(range(0, 16),
+                       v -> (len(list_filter(hi,
+                           x -> strpos('0123456789ABCDEF', x) - 1 = v))
+                           )::VARCHAR), ',') AS feature_counts
+            FROM b ORDER BY media_id
+        """,
+        "multimodal_frames": """
+            -- frame = fixed-stride 64-byte chunk of the body, every
+            -- 4th; the corpus is pure ASCII (asserted at gen time) so
+            -- VARCHAR slicing equals byte slicing and sha256(varchar)
+            -- hashes the same bytes Spark's sha2(binary) does
+            WITH media AS (
+                SELECT doc_id AS media_id, text AS body,
+                       length(text) AS nb
+                FROM documents WHERE doc_id % 3 = 2
+            ), idx AS (
+                SELECT media_id, body,
+                       unnest(range(0, greatest(1, nb // 64), 4)) AS i
+                FROM media
+            )
+            SELECT media_id, i::INT AS frame_idx,
+                   sha256(substring(body, i*64+1, 64)) AS frame_sha256
+            FROM idx ORDER BY media_id, frame_idx
+        """,
         "dedup_exact": """
             SELECT doc_id, content_hash, dup_count FROM (
                 SELECT doc_id, md5(text) AS content_hash,
@@ -852,10 +1147,10 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (not SQL-expressible, rows-only check):
         #   dedup_minhash_lsh_pairs, dedup_simhash_pairs,
         #   ann_lsh_cosine_topk, emb_near_dup_lsh_pairs — probabilistic
-        #   candidate generation; exact behavior pinned by pytest
-        #   (tests/test_ops.py).
-        #   multimodal_decode, multimodal_frames — DECODE-STUB byte
-        #   histograms / blob chunking (pinned by golden pytest in
-        #   tests/test_multimodal.py; blob-valued columns don't
-        #   round-trip the driver's value hash).
+        #   candidate generation (xxhash64 / hyperplane signs are not
+        #   reproducible in DuckDB). Their CORRECTNESS is gated by the
+        #   oracle-backed containment/exactness entries above
+        #   (dedup_minhash_containment, dedup_simhash_exactness,
+        #   emb_lsh_containment: violations vs the exact ops == empty
+        #   relation) plus pytest recall bounds (tests/test_ops.py).
     }

@@ -134,6 +134,74 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
             .dropDuplicates(["vec_a", "vec_b"]))
 
 
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
+                    k: int = 5, centroid_stride: int = 32,
+                    n_probe: int = 4) -> DataFrame:
+    """ANN via an IVF-flat index (the FAISS IVF shape): partition the
+    corpus into inverted lists keyed by nearest centroid, probe only
+    the `n_probe` lists nearest each query, exact cosine re-rank
+    inside the probed lists.
+
+    Centroids are a deterministic corpus sample (vec_id % stride == 0
+    — no k-means fit, no driver-side action, no random state); with a
+    fitted codebook the assignment/probe plumbing below is unchanged.
+
+    100-TB shape: the corpus is scanned ONCE to assign lists (cross
+    with the broadcast centroid set — |C| = n/stride rows), then the
+    probe is an equi-join on list_id touching ~n_probe/|C| of the
+    corpus per query instead of all of it; no O(n²) anywhere, and the
+    list assignment is write-once (at scale: a bucketed/partitioned
+    table on list_id, so probes prune files)."""
+    cents = (embeddings.filter(F.col("vec_id") % centroid_stride == 0)
+             .select(F.col("vec_id").alias("list_id"),
+                     F.expr("transform(embedding, x -> cast(x as double))")
+                     .alias("ce"))
+             .withColumn("cnrm", F.expr(_NORM.format(a="ce"))))
+
+    def _centroid_cos(side_vec: str, side_nrm: str) -> F.Column:
+        return F.expr(
+            "(" + _DOT.format(a=side_vec, b="ce") + ") / "
+            f"nullif({side_nrm} * cnrm, 0.0)")
+
+    e = (embeddings
+         .select("vec_id",
+                 F.expr("transform(embedding, x -> cast(x as double))")
+                 .alias("ve"))
+         .withColumn("nrm", F.expr(_NORM.format(a="ve"))))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("list_id"))
+    assigned = (e.crossJoin(F.broadcast(cents))
+                .withColumn("ccos", _centroid_cos("ve", "nrm"))
+                .withColumn("_rn", F.row_number().over(w_assign))
+                .filter(F.col("_rn") == 1)
+                .select("vec_id", "ve", "nrm", "list_id"))
+
+    q = (queries
+         .select("query_id",
+                 F.expr("transform(embedding, x -> cast(x as double))")
+                 .alias("qe"))
+         .withColumn("qnrm", F.expr(_NORM.format(a="qe"))))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("list_id"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("ccos", _centroid_cos("qe", "qnrm"))
+              .withColumn("_rn", F.row_number().over(w_probe))
+              .filter(F.col("_rn") <= n_probe)
+              .select("query_id", "qe", "qnrm", "list_id"))
+
+    cos = F.expr(
+        "(" + _DOT.format(a="qe", b="ve") + ") / "
+        "nullif(qnrm * nrm, 0.0)")
+    scored = (assigned.join(F.broadcast(probes), on="list_id")
+              .filter(F.col("query_id") != F.col("vec_id"))
+              .withColumn("cosine", F.round(cos, 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
 def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                     k: int = 5, n_planes: int = 12,
                     n_tables: int = 4, seed: int = 42,
