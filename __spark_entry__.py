@@ -496,6 +496,32 @@ def _q_kg_tombstones(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_kg_unpack_recursive(spark, sf_dir):
+    """P7 loop-until-empty document unpack gate: documents are packed
+    into two levels of JSON envelopes ({"children":[...]}) plus a raw
+    pass-through branch, then `unpack_recursive` must recover every
+    leaf payload byte-identically with its depth and root — the
+    processHelper recursion (process.go:115-168) with a plain-SQL
+    oracle (the envelope packing is deterministic arithmetic on
+    doc_id, and to_json/from_json round-trips the text)."""
+    from guackg.ops.unpack import unpack_recursive
+    d = _docs(spark, sf_dir)
+    inner = (d.groupBy((F.col("doc_id") % 50).alias("g"))
+             .agg(F.to_json(F.struct(
+                 F.sort_array(F.collect_list("text")).alias("children")))
+                 .alias("payload")))
+    outer = (inner.groupBy((F.col("g") % 10).alias("root_id"))
+             .agg(F.to_json(F.struct(
+                 F.sort_array(F.collect_list("payload")).alias("children")))
+                 .alias("payload")))
+    raw = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000).alias("root_id"),
+        F.col("text").alias("payload"))
+    leaves = unpack_recursive(outer.unionByName(raw),
+                              payload_col="payload", id_col="root_id")
+    return leaves.orderBy("root_id", "depth", "payload")
+
+
 def _feeds_edges(spark, sf_dir):
     """Layered part→supplier→nation→region DAG (shared by toposort
     and affected-roots)."""
@@ -552,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_levels": _q_kg_match_levels,
         "kg_identifier_candidates": _q_kg_identifier_candidates,
         "kg_tombstones": _q_kg_tombstones,
+        "kg_unpack_recursive": _q_kg_unpack_recursive,
         # training-data ops: dedup / similarity / text analysis
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -883,6 +910,16 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents) m
                 WHERE m.doc_id = d.doc_id AND m.w IN ('join', 'dup'))
             ORDER BY doc_id
+        """,
+        "kg_unpack_recursive": """
+            SELECT (doc_id % 50) % 10 AS root_id, 2 AS depth,
+                   text AS payload
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000 AS root_id, 0 AS depth,
+                   text AS payload
+            FROM documents WHERE doc_id % 7 = 0
+            ORDER BY root_id, depth, payload
         """,
         "dedup_minhash_containment": """
             SELECT doc_id AS doc_a, doc_id AS doc_b,

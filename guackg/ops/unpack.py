@@ -1,0 +1,68 @@
+"""P7 — recursive document unpack (loop-until-empty).
+
+The reference's processor recurses on document trees: processHelper
+re-processes every child a handler unpacks until the frontier is empty
+(/root/reference/pkg/handler/processor/process/process.go:115-168),
+e.g. json-lines envelopes exploding into N child documents
+(processor/jsonlines/jsonlines.go:45-65). The fixed-depth explode in
+guackg/ops/multimodal.sample_frames covers the 1→N shape; this module
+is the unbounded-depth variant.
+
+Spark shape: a driver loop over DataFrame rounds (the same pattern as
+guackg/cc.py's star iterations) — each round is ONE narrow
+filter+explode over the frontier, `localCheckpoint` truncates the
+lineage so plan depth stays O(1) per round, and the loop stops when a
+cheap `isEmpty` probe finds no envelopes left. No per-row Python: the
+envelope test and child extraction are built-in expressions
+(`from_json` + `explode`). At 100 TB each round is a full-parallelism
+map stage; total work is O(tree size), not O(depth × size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ENVELOPE_PREFIX = '{"children":'
+_CHILD_SCHEMA = "struct<children:array<string>>"
+
+
+def is_envelope_col(col: F.Column) -> F.Column:
+    """An envelope is a compact-JSON object whose first key is
+    `children` (the P2-style format discriminator — cheap prefix test,
+    no parse; guesser/guesser.go:25-51)."""
+    return F.ltrim(col).startswith(ENVELOPE_PREFIX)
+
+
+def unpack_recursive(docs: DataFrame, payload_col: str = "payload",
+                     id_col: str = "root_id",
+                     max_depth: int = 20) -> DataFrame:
+    """Explode envelope payloads into their children until no
+    envelopes remain (or `max_depth`, a guard against pathological
+    nesting — hitting it leaves the residual envelopes OUT of the
+    result rather than mislabeling them as leaves).
+
+    Malformed envelopes (prefix matches but JSON does not parse) yield
+    no children and are dropped — the parser-validation semantics of
+    the triples stage (row-wise skip, never a crash).
+
+    Returns leaves: (id_col, depth, payload_col)."""
+    frontier = docs.select(F.col(id_col), F.col(payload_col),
+                           F.lit(0).alias("depth"))
+    leaves: DataFrame | None = None
+    for _ in range(max_depth + 1):
+        is_env = is_envelope_col(F.col(payload_col))
+        leaf_rows = frontier.filter(~is_env)
+        leaves = leaf_rows if leaves is None \
+            else leaves.unionByName(leaf_rows)
+        env = frontier.filter(is_env)
+        if env.isEmpty():
+            break
+        frontier = (env
+                    .withColumn("_j", F.from_json(payload_col,
+                                                  _CHILD_SCHEMA))
+                    .select(id_col,
+                            F.explode("_j.children").alias(payload_col),
+                            (F.col("depth") + 1).alias("depth"))
+                    .localCheckpoint(eager=False))
+    return leaves

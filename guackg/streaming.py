@@ -31,14 +31,26 @@ def stream_pages_to_triples(
     out_dir: str,
     checkpoint_dir: str | None = None,
     schema=None,
+    max_files_per_trigger: int | None = None,
 ):
     """Incremental pages → triples stream. Returns the StreamingQuery
-    (caller awaits termination; AvailableNow stops at end of input)."""
+    (caller awaits termination; AvailableNow stops at end of input).
+
+    `max_files_per_trigger` is the S4 queue-consumer mode: the drain
+    proceeds in bounded micro-batches of ≤ N source files each, with a
+    checkpoint commit per batch — the backpressure/ack-granularity
+    semantics of the reference's NATS pull consumer (each micro-batch
+    is an acked message group; a kill mid-drain loses at most one
+    uncommitted batch, and resume re-reads only that). Unset = one
+    batch for the whole backlog (the plain polling collector)."""
     if schema is None:
         schema = spark.read.parquet(pages_dir).schema
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
-    stream = (spark.readStream.schema(schema).parquet(pages_dir))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_dir)
     ok, _bad = split_quarantine(extract(stream))
     triples = extract_triples(
         ok.select("url", "warc_ts", "lang", "extracted_text"))

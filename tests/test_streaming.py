@@ -73,6 +73,22 @@ def test_stream_matches_batch_and_resumes(spark, pages_df, pages_dir,
     cols = ["url", "subj_surface", "pred", "obj_surface"]
     assert (got.select(cols).exceptAll(want.select(cols)).count() == 0)
 
+    # S4 queue-consumer mode: bounded micro-batches must produce the
+    # SAME result as the one-shot drain, in >1 committed batches
+    # (multi-file source dir so maxFilesPerTrigger actually splits)
+    queue_src = str(tmp_path_factory.mktemp("queue_src"))
+    spark.read.parquet(pages_dir).repartition(6) \
+        .write.mode("overwrite").parquet(queue_src)
+    qd = str(tmp_path_factory.mktemp("queue_out"))
+    qq = stream_pages_to_triples(spark, queue_src, qd,
+                                 max_files_per_trigger=2)
+    qq.awaitTermination(300)
+    n_batches = len([p for p in qq.recentProgress if p["numInputRows"] > 0])
+    assert n_batches > 1, "queue mode should commit multiple batches"
+    queued = spark.read.parquet(os.path.join(qd, "triples_stream"))
+    assert queued.count() == want.count()
+    assert (queued.select(cols).exceptAll(want.select(cols)).count() == 0)
+
     # append new files → resume processes ONLY the increment
     n_before = got.count()
     pages_df.limit(150).write.mode("append").parquet(pages_dir)
