@@ -496,6 +496,29 @@ def _q_kg_tombstones(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_kg_score_rollup(spark, sf_dir):
+    """T5 scorecard-parser shape (parser_scorecard.go: per-check float
+    scores collected into one node plus an aggregate score): per user,
+    the sorted (check:score) list AND the count-weighted mean score —
+    a holistic collect and an algebraic float rollup in ONE grouped
+    aggregation (map-side partial for the algebraic part)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = (e.groupBy("user_id", "event_type")
+           .agg(F.round(F.avg("value"), 6).alias("score"),
+                F.count("*").alias("n")))
+    return (per.groupBy("user_id")
+            .agg(F.array_join(F.sort_array(F.collect_list(
+                # decimal(18,6) string form renders identically in
+                # Spark and DuckDB (fixed scale, trailing zeros)
+                F.concat("event_type", F.lit(":"),
+                         F.col("score").cast("decimal(18,6)")
+                         .cast("string")))), "|")
+                .alias("checks"),
+                F.round(F.sum(F.col("score") * F.col("n")) / F.sum("n"), 6)
+                .alias("aggregate_score"))
+            .orderBy("user_id"))
+
+
 def _q_kg_unpack_recursive(spark, sf_dir):
     """P7 loop-until-empty document unpack gate: documents are packed
     into two levels of JSON envelopes ({"children":[...]}) plus a raw
@@ -579,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_identifier_candidates": _q_kg_identifier_candidates,
         "kg_tombstones": _q_kg_tombstones,
         "kg_unpack_recursive": _q_kg_unpack_recursive,
+        "kg_score_rollup": _q_kg_score_rollup,
         # training-data ops: dedup / similarity / text analysis
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -910,6 +934,20 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents) m
                 WHERE m.doc_id = d.doc_id AND m.w IN ('join', 'dup'))
             ORDER BY doc_id
+        """,
+        "kg_score_rollup": """
+            WITH per AS (
+                SELECT user_id, event_type,
+                       round(avg(value), 6) AS score,
+                       count(*) AS n
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id,
+                   array_to_string(list_sort(list(
+                       event_type || ':' ||
+                       (score::DECIMAL(18,6))::VARCHAR)), '|') AS checks,
+                   round(sum(score * n) / sum(n), 6) AS aggregate_score
+            FROM per GROUP BY user_id ORDER BY user_id
         """,
         "kg_unpack_recursive": """
             SELECT (doc_id % 50) % 10 AS root_id, 2 AS depth,
