@@ -40,6 +40,51 @@ def test_golden_text_matches_text_column(corpus):
         assert hashlib.sha256(t.encode("utf-8")).hexdigest() == h
 
 
+def test_hybrid_extract_matches_python_reference(spark, pages_df):
+    """The JVM-first hybrid path must be byte-identical to the frozen
+    Python spec over the FULL quirk corpus (BOM, latin-1, entities,
+    malformed-truncation JSON pages)."""
+    h = extract(pages_df, impl="hybrid").select("url", "extracted_text")
+    p = extract(pages_df, impl="python").select(
+        "url", F.col("extracted_text").alias("want"))
+    diff = (h.join(p, on="url")
+            .filter(~F.col("extracted_text").eqNullSafe(F.col("want"))))
+    assert diff.count() == 0
+
+
+def test_hybrid_extract_adversarial_rows(spark):
+    """Rows engineered to sit on the JVM/Python routing boundary:
+    unsupported entities (must route to Python), nested escapes
+    (single-pass semantics), malformed UTF-8 (replacement chars),
+    exotic whitespace at line edges."""
+    blobs = [
+        b"<p>A &eacute; B</p>",              # unsupported entity
+        b"<p>x &nbsp; y</p>",                # entity -> U+00A0
+        b"<p>n &#x41; m</p>",                # numeric hex entity
+        b"<p>&amp;lt; stays</p>",            # nested: must NOT double-unescape
+        b"<p>5 &lt; 6 &amp; 7 &gt; 2 &quot;q&quot; &#39;a&#39;</p>",
+        b"\xff\xfe<p>broken</p>",            # malformed utf-8
+        b"<p>tail \xe2\x82</p>",             # truncated multi-byte
+        b"<p>lone\rcr</p>",                  # lone CR inside a line
+        b"<p>\x1c sep \x1c</p>",             # C0 separators (str.strip set)
+        '<meta charset=latin-1><p>\xa0nb\xa0</p>'.encode("latin-1"),
+        b"\xef\xbb\xbf<p>bom &amp; text</p>",
+        b"",                                  # empty
+        None,                                 # null html
+    ]
+    rows = [(f"u{i}", b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r.extracted_text
+           for r in extract(df, impl="hybrid").collect()}
+    want = {r.url: r.extracted_text
+            for r in extract(df, impl="python").collect()}
+    assert got == want
+    # sanity: python reference behaves as the spec says
+    assert want["u3"] == "&lt; stays"
+    assert want["u4"] == "5 < 6 & 7 > 2 \"q\" 'a'"
+    assert want["u12"] is None
+
+
 def test_quarantine_split(spark):
     import datetime
     rows = [
