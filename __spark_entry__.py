@@ -265,6 +265,16 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_text_winnow(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (SIGMOD'03): base-31
+    polynomial k-gram hashes → w-window minima → distinct. The
+    polynomial is engine-portable, so DuckDB recomputes every
+    fingerprint exactly."""
+    from guackg.ops.textstats import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir)) \
+        .orderBy("doc_id", "fingerprint")
+
+
 def _q_word_mentions(spark, sf_dir):
     # explode + agg (the license-expression split shape, SURVEY T11)
     d = _docs(spark, sf_dir)
@@ -496,6 +506,33 @@ def _q_kg_tombstones(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_kg_connected_components(spark, sf_dir):
+    """C10 canonicalization gate: the REAL `connected_components` op
+    (large-star/small-star; driver union-find below the broadcast-ish
+    threshold) over an equivalence graph synthesized from customer
+    keys — star groups of 10 custkeys plus deterministic bridges that
+    merge runs of consecutive groups. The component structure is pure
+    arithmetic (segments of group indices), so the oracle computes
+    membership and the lexicographic-min canon without recursion."""
+    from guackg.cc import connected_components
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey")
+    base = (F.col("c_custkey") - F.col("c_custkey") % 10)
+    intra = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("key_a"),
+        F.concat(F.lit("c:"), base).alias("key_b"))
+    g = (F.col("c_custkey") / 10).cast("bigint")
+    inter = (c.filter((F.col("c_custkey") % 10 == 0)
+                      & (F.col("c_custkey") >= 10)
+                      & (g % 7 == 3))
+             .select(F.concat(F.lit("c:"), F.col("c_custkey"))
+                     .alias("key_a"),
+                     F.concat(F.lit("c:"), F.col("c_custkey") - 10)
+                     .alias("key_b")))
+    comps = connected_components(intra.unionByName(inter))
+    return comps.select("member_key", "canon_key").orderBy("member_key")
+
+
 def _q_kg_score_rollup(spark, sf_dir):
     """T5 scorecard-parser shape (parser_scorecard.go: per-check float
     scores collected into one node plus an aggregate score): per user,
@@ -603,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tombstones": _q_kg_tombstones,
         "kg_unpack_recursive": _q_kg_unpack_recursive,
         "kg_score_rollup": _q_kg_score_rollup,
+        "kg_connected_components": _q_kg_connected_components,
         # training-data ops: dedup / similarity / text analysis
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -624,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_token_counts": _q_tokens,
         "text_fingerprint": _q_fingerprint,
+        "text_winnow_fingerprints": _q_text_winnow,
         "text_word_mentions": _q_word_mentions,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_cosine_topk": _q_ann_lsh,
@@ -935,6 +974,49 @@ def oracle_sql() -> dict[str, str]:
                 WHERE m.doc_id = d.doc_id AND m.w IN ('join', 'dup'))
             ORDER BY doc_id
         """,
+        "kg_connected_components": """
+            -- component structure is arithmetic: star groups of 10
+            -- custkeys; group g merges into g-1 iff g%7=3 (the inter
+            -- edge) — components are runs of consecutive groups, so
+            -- seg_id is a running sum over group indices. Nodes appear
+            -- only via NON-self edges (the op drops u=v), hence the
+            -- explicit member construction.
+            WITH members AS (
+                SELECT c_custkey AS k FROM customer
+                WHERE c_custkey % 10 != 0
+                UNION
+                SELECT (c_custkey - c_custkey % 10) FROM customer
+                WHERE c_custkey % 10 != 0
+                UNION
+                SELECT c_custkey FROM customer
+                WHERE c_custkey % 10 = 0 AND c_custkey >= 10
+                  AND (c_custkey // 10) % 7 = 3
+                UNION
+                SELECT c_custkey - 10 FROM customer
+                WHERE c_custkey % 10 = 0 AND c_custkey >= 10
+                  AND (c_custkey // 10) % 7 = 3
+            ), grp AS (
+                SELECT k, k // 10 AS g FROM members
+            ), groups AS (
+                SELECT DISTINCT g FROM grp
+            ), seg AS (
+                SELECT g, sum(CASE WHEN g % 7 = 3 AND g >= 1
+                                    AND EXISTS (SELECT 1 FROM customer
+                                                WHERE c_custkey = 10 * g)
+                               THEN 0 ELSE 1 END)
+                          OVER (ORDER BY g ROWS UNBOUNDED PRECEDING)
+                          AS seg_id
+                FROM groups
+            ), kk AS (
+                SELECT grp.k, seg.seg_id FROM grp JOIN seg USING (g)
+            ), canon AS (
+                SELECT seg_id, min('c:' || k) AS canon_key
+                FROM kk GROUP BY seg_id
+            )
+            SELECT 'c:' || k AS member_key, canon_key
+            FROM kk JOIN canon USING (seg_id)
+            ORDER BY member_key
+        """,
         "kg_score_rollup": """
             WITH per AS (
                 SELECT user_id, event_type,
@@ -1193,6 +1275,31 @@ def oracle_sql() -> dict[str, str]:
                    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
                        AS fingerprint_sha256
             FROM documents
+        """,
+        "text_winnow_fingerprints": """
+            -- DuckDB list_reduce starts from the first element, which
+            -- equals Spark's aggregate with init 0 for this fold
+            -- ((0*31+c0)%p = c0)
+            WITH t AS (
+                SELECT doc_id, lower(trim(text)) AS s FROM documents
+                WHERE length(lower(trim(text))) >= 11
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(s) - 8 + 2),
+                           i -> list_reduce(
+                               list_transform(range(0, 8),
+                                   j -> ascii(substr(s, (i+j)::INT, 1))
+                                        ::BIGINT),
+                               (a, b) -> (a * 31 + b) % 1000000007))
+                           AS gh
+                FROM t
+            )
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(gh) - 4 + 2),
+                       i -> list_min(gh[i:i+3])))) AS fingerprint
+            FROM h
+            ORDER BY doc_id, fingerprint
         """,
         "text_word_mentions": r"""
             SELECT word, count(*) AS n FROM (

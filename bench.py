@@ -35,7 +35,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
-    n_pages = int(round(1000 * sf / 0.001))
+    # GUACKG_BENCH_PAGES overrides the corpus size (used by
+    # scaling_bench to measure executor scaling in the compute-bound
+    # regime — the per-stage commit/barrier floor is corpus-
+    # independent, so a larger input isolates the quantity the north
+    # rule is about; the floor itself is reported separately)
+    n_pages = int(os.environ.get("GUACKG_BENCH_PAGES",
+                                 int(round(1000 * sf / 0.001))))
 
     # 16g: large enough for the working set, small enough that G1
     # young collections stay short at 32 task threads (32g measured

@@ -85,3 +85,46 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.sha2(norm, 256).alias("fingerprint_sha256"),
     )
+
+
+# winnowing constants: k-gram length, window width, polynomial base/mod
+# (base-31 mod 1e9+7 — computable identically in any engine with
+# 64-bit ints, unlike xxhash64; Schleimer/Wilkerson/Aiken winnowing,
+# SIGMOD'03 — public algorithm)
+WINNOW_K = 8
+WINNOW_W = 4
+_POLY_BASE = 31
+_POLY_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing: hash every
+    k-char gram with a base-31 polynomial (mod 1e9+7), slide a
+    w-gram window, keep each window's MINIMUM hash, emit the distinct
+    minima as (doc_id, fingerprint) rows. Near-identical documents
+    share most fingerprints (the content-defined-chunking identity
+    family next to md5/sha in `fingerprint`).
+
+    All built-in expressions — sequence/transform/aggregate/slice/
+    array_min — whole-stage codegen, no Python, no UDF; the modular
+    fold keeps every intermediate < 2^35 so ANSI arithmetic never
+    overflows. Docs shorter than k+w-1 chars yield no rows (same rule
+    as the n-gram shingle ops)."""
+    t = f"lower(trim({text_col}))"
+    gram_hash = (
+        f"aggregate(sequence(0, {k - 1}), 0L, "
+        f"(acc, j) -> (acc * {_POLY_BASE} + ascii(substring(_t, i + j, 1)))"
+        f" % {_POLY_MOD})")
+    hashes = (f"transform(sequence(1, length(_t) - {k} + 1), "
+              f"i -> {gram_hash})")
+    # _gh bound ONCE per row — the window pass slices the materialized
+    # array (inlining it would re-evaluate the full hash array per
+    # window: O(n²k))
+    minima = (f"array_distinct(transform(sequence(1, size(_gh) - {w} + 1), "
+              f"i -> array_min(slice(_gh, i, {w}))))")
+    return (docs
+            .withColumn("_t", F.expr(t))
+            .filter(F.expr(f"length(_t) >= {k + w - 1}"))
+            .withColumn("_gh", F.expr(hashes))
+            .select("doc_id", F.explode(F.expr(minima)).alias("fingerprint")))

