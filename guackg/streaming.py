@@ -107,3 +107,103 @@ def stream_windowed_mention_counts(
             .trigger(availableNow=True)
             .outputMode("append")
             .start())
+
+
+def stream_stateful_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    gap_minutes: int = 30,
+    watermark_delay: str = "2 hours",
+    checkpoint_dir: str | None = None,
+):
+    """Custom stateful streaming operator: gap-based sessionization via
+    `applyInPandasWithState` — per-user session state lives in the
+    state store across micro-batches (the operator family Spark's
+    built-in windows can't express: the window END depends on the
+    DATA, not the clock).
+
+    Semantics (same as the batch `event_sessionization`): events of a
+    user belong to one session while consecutive gaps are ≤
+    `gap_minutes`. A session row (user_id, session_start, session_end,
+    n_events) is EMITTED when it closes — either a later event in the
+    batch opens the next session, or the watermark passes the open
+    session's end + gap (event-time timeout) and no event can extend
+    it any more. Exactly-once: state + emitted rows ride the
+    checkpoint; replay emits no duplicates.
+
+    The reference's analog is the certifier/collector polling loops
+    keeping per-subject state across batches (SURVEY §2.11); the Spark
+    expression is the state-store operator, not a window."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_dir).schema
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_ss_checkpoint")
+    gap_s = gap_minutes * 60
+
+    stream = (spark.readStream.schema(schema).parquet(events_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", watermark_delay)
+              .select("user_id", "ts"))
+
+    out_type = ("user_id bigint, session_start timestamp, "
+                "session_end timestamp, n_events bigint")
+    # state: open session as epoch-MICROsecond ints (state rows must
+    # be flat — no timestamps; integer µs keeps byte-exact event times
+    # where float seconds would round inside the f64 mantissa)
+    state_type = "start_us bigint, end_us bigint, n bigint"
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed end+gap: the open session can never be
+            # extended — emit it and clear
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+            })
+            return
+        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        micros = ts.astype("int64").to_numpy() // 1000
+        open_sess = list(state.get) if state.exists else None
+        out_start, out_end, out_n = [], [], []
+        for t in micros:
+            t = int(t)
+            if open_sess is None:
+                open_sess = [t, t, 0]
+            elif t - open_sess[1] > gap_us:
+                out_start.append(open_sess[0])
+                out_end.append(open_sess[1])
+                out_n.append(open_sess[2])
+                open_sess = [t, t, 0]
+            open_sess[1] = max(open_sess[1], t)
+            open_sess[2] += 1
+        state.update((open_sess[0], open_sess[1], int(open_sess[2])))
+        # close via event-time timeout once the watermark passes
+        # end+gap (setTimeoutTimestamp takes epoch milliseconds)
+        state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
+        if out_start:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(out_start),
+                "session_start": pd.to_datetime(out_start, unit="us"),
+                "session_end": pd.to_datetime(out_end, unit="us"),
+                "n_events": out_n,
+            })
+
+    emitted = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_type, state_type, "append",
+        GroupStateTimeout.EventTimeTimeout)
+    return (emitted.writeStream
+            .format("parquet")
+            .option("path", os.path.join(out_dir, "sessions"))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())

@@ -102,3 +102,67 @@ def test_stream_matches_batch_and_resumes(spark, pages_df, pages_dir,
     want2 = extract_triples(
         ok2.select("url", "warc_ts", "lang", "extracted_text"))
     assert n_after == want2.count()
+
+
+def test_stateful_sessionization_stream(spark, tmp_path_factory):
+    """applyInPandasWithState gap sessionization: closed sessions must
+    match the batch window-function sessionization exactly; open
+    sessions emit once the watermark passes their end + gap (second
+    run with far-future events forces every timeout)."""
+    import pyspark.sql.functions as F
+
+    from guackg.streaming import stream_stateful_sessions
+
+    events_dir = str(tmp_path_factory.mktemp("ss_events"))
+    out_dir = str(tmp_path_factory.mktemp("ss_out"))
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.mode("overwrite").parquet(events_dir)
+
+    # batch expectation (same semantics as ops/relational.py)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (src.withColumn("is_new",
+                           F.when(gap.isNull() | (gap > 1800), 1)
+                           .otherwise(0))
+            .withColumn("seq", F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(F.col("ts").cast("timestamp")).alias("session_start"),
+                 F.max(F.col("ts").cast("timestamp")).alias("session_end")))
+    want_all = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in sess.collect()}
+    last_seq = sess.groupBy("user_id").agg(F.max("seq").alias("seq"))
+    want_closed = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                   for r in sess.join(last_seq, on=["user_id", "seq"],
+                                      how="left_anti").collect()}
+
+    q = stream_stateful_sessions(spark, events_dir, out_dir)
+    q.awaitTermination(300)
+    got1 = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(
+                os.path.join(out_dir, "sessions")).collect()}
+    assert want_closed <= got1 <= want_all
+
+    # push the watermark far past every open session: append one
+    # far-future event per user → every old open session times out
+    late = (src.groupBy("user_id")
+            .agg(F.max(F.col("ts").cast("timestamp")).alias("mx"))
+            .select("user_id",
+                    F.col("mx") + F.expr("INTERVAL 30 DAYS"),
+                    F.lit(0).cast("bigint"), F.lit("x"),
+                    F.lit(0.0), F.lit(None).cast("string"))
+            .toDF("user_id", "ts", "event_id", "event_type",
+                  "value", "props")
+            .select("event_id", "ts", "user_id", "event_type",
+                    "value", "props"))
+    late.write.mode("append").parquet(events_dir)
+    q2 = stream_stateful_sessions(spark, events_dir, out_dir)
+    q2.awaitTermination(300)
+    got2 = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(
+                os.path.join(out_dir, "sessions")).collect()}
+    # every original session emitted exactly once, no duplicates
+    assert want_all <= got2
