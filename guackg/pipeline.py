@@ -27,10 +27,10 @@ from guackg.link import (distinct_mentions, equivalence_edges_from_links,
 from guackg.materialize import (build_edges, build_nodes,
                                 page_mention_edges, page_node_rows,
                                 resolve_triples)
-from guackg.triples import EXTRACTOR_VERSION, extract_triples, page_nodes
+from guackg.triples import EXTRACTOR_VERSION, extract_triples
 
 STAGES = ("extract", "triples", "link", "canonicalize", "materialize")
-PIPELINE_VERSION = "0.3"  # bump invalidates lineage of older layouts
+PIPELINE_VERSION = "0.4"  # bump invalidates lineage of older layouts
 
 
 def _fingerprint(*parts: object) -> str:
@@ -87,15 +87,24 @@ class KGPipeline:
             def _extract():
                 # ONE Python pass: materialize all rows + validity flag;
                 # ok/quarantine are filters over the written table (the
-                # UDF is the most expensive stage — never run it twice)
+                # UDF is the most expensive stage — never run it twice).
+                # page_sha256 (the T10 HasSBOM-digest identity) rides
+                # along here because this is the ONLY pass that reads
+                # the raw blobs — computing it later would re-scan the
+                # whole html corpus just for the hash.
                 return extract(pages).select(
                     "url", "warc_ts", "lang", "extracted_text",
-                    valid_col().alias("valid"))
+                    valid_col().alias("valid"),
+                    F.sha2(F.col("html"), 256).alias("page_sha256"))
             full = self._run_stage(
                 "extract", _fingerprint(fp_base, "extract"), _extract)
             out["extracted"] = full.filter(F.col("valid")).select(
                 "url", "warc_ts", "lang", "extracted_text")
             out["quarantine"] = full.filter(~F.col("valid"))
+            # (url → page document identity), reused by the page graph
+            # below — a 2-column read of the extract table, NOT a
+            # second scan of the raw blobs
+            out["page_identity"] = full.select("url", "page_sha256")
         else:
             return out
 
@@ -175,7 +184,7 @@ class KGPipeline:
             # the entity-node dedup unaffected by the page graph.
             page_keys = None
             if include_page_graph:
-                page_keys = page_nodes(pages).select(
+                page_keys = out["page_identity"].select(
                     "url", F.concat(F.lit("page:"),
                                     F.col("page_sha256"))
                     .alias("page_key"))
