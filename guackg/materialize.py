@@ -163,36 +163,35 @@ def page_mention_edges(resolved: DataFrame,
     page_keys: (url, page_key) from `guackg.triples.page_nodes` via
     'page:' || page_sha256.
 
-    Shuffle order matters at 2× the triple count: the heavy reduction
-    groups by (url, entity) FIRST — the exploded rows shuffle with
-    the short url, never the 70-char page-sha key — and the tiny
-    (url → page_key) map broadcast-joins onto the ~page×entity
-    aggregate afterwards. A second, nearly-free agg then merges urls
-    that share a page_key (duplicate html bodies): extractor sets (≤
-    |dialects| elements) are unioned, not double-counted."""
-    mentions = (resolved
-                .select("url", "warc_ts", "extractor",
-                        F.explode(F.array("subj_key", "obj_key"))
-                        .alias("obj_key")))
-    per_url = (mentions
-               .groupBy("url", "obj_key")
-               .agg(F.collect_set("extractor").alias("_exts"),
-                    F.min("warc_ts").alias("first_seen"),
-                    F.max("warc_ts").alias("last_seen")))
-    return (per_url
+    Shuffle order matters at 2× the triple count: the timestamp is a
+    URL-LEVEL constant (one crawl ts per page), so the exploded
+    mention stream reduces to DISTINCT (url, entity, extractor) rows
+    first — the heavy shuffle carries three dictionary-friendly
+    columns, no timestamps, no collected sets, and never the 70-char
+    page-sha key. The tiny per-url ts bounds and the (url → page_key)
+    map broadcast-join onto the distinct pairs, and ONE final agg per
+    (page, entity) computes exact evidence (distinct extractors;
+    min/max ts across duplicate-html urls sharing a page_key)."""
+    pairs = (resolved
+             .select("url", "extractor",
+                     F.explode(F.array("subj_key", "obj_key"))
+                     .alias("obj_key"))
+             .dropDuplicates(["url", "obj_key", "extractor"]))
+    url_meta = (resolved.groupBy("url")
+                .agg(F.min("warc_ts").alias("_ts_min"),
+                     F.max("warc_ts").alias("_ts_max")))
+    return (pairs
             .join(F.broadcast(page_keys), on="url")
+            .join(F.broadcast(url_meta), on="url")
             .groupBy(F.col("page_key").alias("subj_key"),
                      F.col("obj_key"))
-            .agg(F.size(F.array_distinct(
-                     F.flatten(F.collect_list("_exts"))))
-                 .alias("n_evidence"),
-                 F.min("first_seen").alias("first_seen"),
-                 F.max("last_seen").alias("last_seen"))
+            .agg(F.countDistinct("extractor").alias("n_evidence"),
+                 F.min("_ts_min").alias("first_seen"),
+                 F.max("_ts_max").alias("last_seen"))
             .select(F.xxhash64("subj_key").alias("src_id"),
                     F.lit("mentions").alias("pred"),
                     F.xxhash64("obj_key").alias("dst_id"),
-                    F.col("n_evidence").cast("long").alias("n_evidence"),
-                    "first_seen", "last_seen",
+                    "n_evidence", "first_seen", "last_seen",
                     F.lit("exact").alias("match_level"),
                     "subj_key", "obj_key"))
 
