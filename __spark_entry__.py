@@ -107,6 +107,16 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS-style near-dup pairs by shared winnowing fingerprints —
+    fully value-oracled (the polynomial rolling hash reproduces in
+    DuckDB, unlike xxhash64-based MinHash/SimHash)."""
+    from guackg.ops.dedup import winnow_near_pairs
+    return winnow_near_pairs(_docs(spark, sf_dir), min_shared=5,
+                             min_overlap=0.5) \
+        .orderBy("doc_a", "doc_b")
+
+
 def _q_emb_near_dup(spark, sf_dir):
     from guackg.ops.similarity import embedding_near_dup_pairs
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -649,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_simhash_exactness": _q_simhash_exactness,
         "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_winnow_pairs": _q_winnow_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "emb_lsh_containment": _q_emb_lsh_containment,
@@ -1158,6 +1169,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, round(j, 6) AS jaccard
             FROM pairs WHERE round(j, 6) >= 0.8
+        """,
+        "dedup_winnow_pairs": """
+            WITH t AS (
+                SELECT doc_id, lower(trim(text)) AS s FROM documents
+                WHERE length(lower(trim(text))) >= 11
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(s) - 8 + 2),
+                           i -> list_reduce(
+                               list_transform(range(0, 8),
+                                   j -> ascii(substr(s, (i+j)::INT, 1))
+                                        ::BIGINT),
+                               (a, b) -> (a * 31 + b) % 1000000007))
+                           AS gh
+                FROM t
+            ), fp AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(gh) - 4 + 2),
+                           i -> list_min(gh[i:i+3])))) AS fingerprint
+                FROM h
+            ), counts AS (
+                SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_shared
+                FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+                                   AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING count(*) >= 5
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   round(n_shared::DOUBLE /
+                         least(ca.n_fp, cb.n_fp), 6) AS overlap
+            FROM shared
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE round(n_shared::DOUBLE /
+                        least(ca.n_fp, cb.n_fp), 6) >= 0.5
+            ORDER BY doc_a, doc_b
         """,
         "emb_near_dup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -118,3 +118,31 @@ def test_salted_collect_sorted_matches_plain_collect(spark):
     assert out["k1"] == ([f"v{i:03d}" for i in range(57)], 57)
     assert out["k2"] == (["a", "b"], 2)
     assert out["k3"] == (["z"], 1)
+
+
+def test_winnow_fingerprints_detect_shared_spans(spark):
+    """Winnowing property: documents sharing a long verbatim span
+    share fingerprints (guaranteed: any ≥ k+w-1 = 11-char common run
+    contributes at least one common window minimum); disjoint-alphabet
+    documents share none; deterministic across runs."""
+    from guackg.ops.dedup import winnow_near_pairs
+    from guackg.ops.textstats import winnow_fingerprints
+    span = "the quick brown fox jumps over the lazy dog repeatedly"
+    rows = [
+        (1, f"prefix one {span} suffix alpha"),
+        (2, f"other beginning text {span} different ending here"),
+        (3, "zzzz qqqq vvvv kkkk xxxx wwww yyyy jjjj pppp uuuu gggg"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(docs)
+    sets = {r.doc_id: set() for r in docs.collect()}
+    for r in fp.collect():
+        sets[r.doc_id].add(r.fingerprint)
+    assert len(sets[1] & sets[2]) >= 5     # shared span detected
+    assert not (sets[1] & sets[3])         # disjoint alphabets
+    pairs = {(r.doc_a, r.doc_b): r.n_shared
+             for r in winnow_near_pairs(docs, min_shared=5).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    fp2 = {(r.doc_id, r.fingerprint) for r in
+           winnow_fingerprints(docs).collect()}
+    assert fp2 == {(d, f) for d, s in sets.items() for f in s}
