@@ -516,6 +516,31 @@ def _q_kg_tombstones(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_kg_find_entities(spark, sf_dir):
+    """J1 nullable-spec entity lookup gate: the REAL `find_entities`
+    walk (each None = wildcard) plus the REAL `kind_of_key` namespace
+    derivation over a synthesized node table — kind regexp + prefix
+    filter both verified by the SQL oracle (inmem/pkg.go:474-560
+    PkgSpec filter-walk analog)."""
+    from guackg.graph import find_entities
+    from guackg.materialize import kind_of_key
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    keys = s.select(F.element_at(F.array(
+        F.concat(F.lit("ent:org/acme_"), F.col("s_suppkey")),
+        F.concat(F.lit("ent:person/p_"), F.col("s_suppkey")),
+        F.concat(F.lit("ent:guac/unk_"), F.col("s_suppkey")),
+        F.concat(F.lit("page:deadbeef"), F.col("s_suppkey")),
+        F.concat(F.lit("ext_"), F.col("s_suppkey"))),
+        ((F.col("s_suppkey") % 5) + 1).cast("int"))
+        .alias("canonical_key"))
+    nodes = keys.select(kind_of_key(F.col("canonical_key")).alias("kind"),
+                        "canonical_key")
+    orgs = find_entities(nodes, kind="org")
+    pages = find_entities(nodes, key_prefix="page:")
+    return orgs.unionByName(pages) \
+        .select("kind", "canonical_key").orderBy("canonical_key")
+
+
 def _q_kg_connected_components(spark, sf_dir):
     """C10 canonicalization gate: the REAL `connected_components` op
     (large-star/small-star; driver union-find below the broadcast-ish
@@ -651,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_unpack_recursive": _q_kg_unpack_recursive,
         "kg_score_rollup": _q_kg_score_rollup,
         "kg_connected_components": _q_kg_connected_components,
+        "kg_find_entities": _q_kg_find_entities,
         # training-data ops: dedup / similarity / text analysis
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -984,6 +1010,31 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents) m
                 WHERE m.doc_id = d.doc_id AND m.w IN ('join', 'dup'))
             ORDER BY doc_id
+        """,
+        "kg_find_entities": """
+            WITH nodes AS (
+                SELECT CASE s_suppkey % 5
+                    WHEN 0 THEN 'ent:org/acme_' || s_suppkey
+                    WHEN 1 THEN 'ent:person/p_' || s_suppkey
+                    WHEN 2 THEN 'ent:guac/unk_' || s_suppkey
+                    WHEN 3 THEN 'page:deadbeef' || s_suppkey
+                    ELSE 'ext_' || s_suppkey END AS canonical_key
+                FROM supplier
+            ), typed AS (
+                SELECT CASE
+                    WHEN canonical_key LIKE 'ent:guac/%' THEN 'unlinked'
+                    WHEN canonical_key LIKE 'ent:%' THEN
+                        regexp_extract(canonical_key, '^ent:([a-z]+)/', 1)
+                    WHEN canonical_key LIKE 'page:%' THEN 'page'
+                    ELSE 'external' END AS kind,
+                    canonical_key
+                FROM nodes
+            )
+            SELECT kind, canonical_key FROM typed WHERE kind = 'org'
+            UNION ALL
+            SELECT kind, canonical_key FROM typed
+            WHERE canonical_key LIKE 'page:%'
+            ORDER BY canonical_key
         """,
         "kg_connected_components": """
             -- component structure is arithmetic: star groups of 10
