@@ -207,3 +207,48 @@ def stream_stateful_sessions(
             .trigger(availableNow=True)
             .outputMode("append")
             .start())
+
+
+def stream_triples_upsert(
+    spark: SparkSession,
+    pages_dir: str,
+    workdir: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingest INTO the idempotent graph sink: each
+    micro-batch of pages runs the extract→triples transformations and
+    lands via `foreachBatch` → `merge_upsert` keyed on the natural
+    triple identity (url, subj, pred, obj) — the reference's
+    deployment story verbatim: at-least-once delivery (NATS redelivery
+    / checkpoint replay) is SAFE because the sink upserts on natural
+    keys instead of appending (nats_emitter.go:31-42 +
+    inmem/pkg.go:344-434 find-or-create). Replaying the whole stream
+    from scratch leaves the table byte-identical.
+
+    Returns the StreamingQuery (AvailableNow drain)."""
+    from guackg import io as gio
+
+    schema = spark.read.parquet(pages_dir).schema
+    checkpoint_dir = checkpoint_dir or os.path.join(workdir,
+                                                    "_up_checkpoint")
+    table = os.path.join(workdir, "triples_upsert")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_dir)
+    ok, _bad = split_quarantine(extract(stream))
+    triples = extract_triples(
+        ok.select("url", "warc_ts", "lang", "extracted_text"))
+
+    def sink(batch_df, batch_id):
+        gio.merge_upsert(batch_df.sparkSession, batch_df, table,
+                         keys=["url", "subj_surface", "pred",
+                               "obj_surface"])
+
+    return (triples.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

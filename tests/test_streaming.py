@@ -166,3 +166,47 @@ def test_stateful_sessionization_stream(spark, tmp_path_factory):
                 os.path.join(out_dir, "sessions")).collect()}
     # every original session emitted exactly once, no duplicates
     assert want_all <= got2
+
+
+def test_stream_upsert_sink_is_idempotent(spark, pages_df,
+                                          tmp_path_factory):
+    """foreachBatch → keyed merge_upsert: multi-batch drain equals the
+    batch result deduped on the natural key, and a FULL REPLAY (fresh
+    checkpoint, same table) changes nothing — the at-least-once +
+    idempotent-upsert contract."""
+    import pyspark.sql.functions as F
+
+    from guackg.extract import extract, split_quarantine
+    from guackg.streaming import stream_triples_upsert
+    from guackg.triples import extract_triples
+
+    src = str(tmp_path_factory.mktemp("up_src"))
+    wd = str(tmp_path_factory.mktemp("up_wd"))
+    pages_df.limit(120).repartition(6).write.mode("overwrite").parquet(src)
+
+    q = stream_triples_upsert(spark, src, wd, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress
+                     if p["numInputRows"] > 0])
+    assert n_batches > 1
+
+    table = os.path.join(wd, "triples_upsert")
+    got = spark.read.parquet(table)
+    ok, _ = split_quarantine(extract(spark.read.parquet(src)))
+    want = extract_triples(
+        ok.select("url", "warc_ts", "lang", "extracted_text")) \
+        .dropDuplicates(["url", "subj_surface", "pred", "obj_surface"])
+    keys = ["url", "subj_surface", "pred", "obj_surface"]
+    assert got.count() == want.count()
+    assert got.select(keys).exceptAll(want.select(keys)).count() == 0
+
+    # full replay with a fresh checkpoint into the SAME table: every
+    # row redelivered, table unchanged (idempotent natural-key upsert)
+    q2 = stream_triples_upsert(spark, src, wd,
+                               checkpoint_dir=os.path.join(
+                                   wd, "_replay_ckpt"),
+                               max_files_per_trigger=2)
+    q2.awaitTermination(300)
+    again = spark.read.parquet(table)
+    assert again.count() == want.count()
+    assert again.select(keys).exceptAll(want.select(keys)).count() == 0
