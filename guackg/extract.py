@@ -31,6 +31,7 @@ the reference gets from natural-key upserts (SURVEY.md §2.11).
 from __future__ import annotations
 
 import html as _html
+import html.entities as _html_entities
 import re
 
 import pandas as pd
@@ -105,16 +106,35 @@ def _extract_udf(blobs: pd.Series) -> pd.Series:
 # html.unescape's one-pass semantics)
 _JVM_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                  ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")]
-# any OTHER &...; entity → Python route
-_UNSUPPORTED_ENTITY_RE = \
-    r"&(?!(amp|lt|gt|quot|apos|#39);)[A-Za-z#][A-Za-z0-9#]{1,31};"
+# html.unescape also converts SEMICOLONLESS references (spec step 4):
+# numeric '&#65' and the ~106 historical named refs the HTML5 spec
+# allows without ';' ('&amp', '&copy', '&AMP', …). The authoritative
+# list is the stdlib's own table (html.entities.html5 keys without a
+# trailing ';'), so the route predicate can never drift from the
+# frozen spec's implementation.
+_SEMICOLONLESS = sorted(
+    {n for n in _html_entities.html5 if not n.endswith(";")},
+    key=len, reverse=True)
+# rows needing the Python reference implementation (any '&' form the
+# six JVM replacements don't cover byte-exactly):
+#  1. any numeric reference except exactly '&#39;' — with OR without
+#     the terminating ';' ('&#65' converts semicolonless)
+#  2. any OTHER ';'-terminated entity (≤32 chars, html.unescape's cap)
+#  3. any semicolonless named ref ('&amp b' → '& b', '&ampx' → '&x');
+#     the '(?!;)' keeps the ';'-terminated core six on the JVM path
+_UNSUPPORTED_ENTITY_RE = (
+    r"&#(?!39;)"
+    r"|&(?!(amp|lt|gt|quot|apos|#39);)[A-Za-z#][A-Za-z0-9#]{1,31};"
+    r"|&(?:" + "|".join(_SEMICOLONLESS) + r")(?!;)")
 # python str.strip() whitespace = Unicode White_Space + the C0
 # separators 0x1C-0x1F; \n excluded so line boundaries survive
 _WSX = r"[\x1c-\x1f\p{IsWhite_Space}&&[^\n]]"
 
 
 def _decode_col(html: F.Column) -> F.Column:
-    """Charset sniff + decode, spec step 1, all JVM-side.
+    """Charset sniff + decode, spec step 1, all JVM-side; pure in the
+    passed binary Column (no hardcoded column names, so it composes
+    with any source expression).
 
     UTF-8 goes through make_valid_utf8(cast(binary as string)) — the
     exact analog of errors="replace" (malformed sequences → U+FFFD) —
@@ -123,14 +143,13 @@ def _decode_col(html: F.Column) -> F.Column:
     on exotic malformed sequences; any row containing U+FFFD is routed
     to the Python reference implementation, so the difference is
     unobservable.) ISO-8859-1 decode is total — every byte is valid."""
-    prefix = F.decode(F.expr("substring(html, 1, 1024)"), "ISO-8859-1")
+    prefix = F.decode(F.substring(html, 1, 1024), "ISO-8859-1")
     is_latin1 = prefix.rlike(r"(?i)charset=(latin-1|iso-8859-1)")
-    has_bom = F.expr("substring(html, 1, 3)") == F.lit(_BOM)
+    has_bom = F.substring(html, 1, 3) == F.lit(_BOM)
     return (F.when(has_bom, F.make_valid_utf8(
-                F.expr("cast(substring(html, 4, 2147483647) as string)")))
+                F.substring(html, 4, 2147483647).cast("string")))
             .when(is_latin1, F.decode(html, "ISO-8859-1"))
-            .otherwise(F.make_valid_utf8(
-                F.expr("cast(html as string)"))))
+            .otherwise(F.make_valid_utf8(html.cast("string"))))
 
 
 def _extract_jvm(decoded: F.Column) -> F.Column:
@@ -146,7 +165,10 @@ def _extract_jvm(decoded: F.Column) -> F.Column:
         s = F.regexp_replace(s, ent, ch)
     s = F.regexp_replace(s, r"[ \t]*\n[ \t\r\n]*", "\n")
     s = F.regexp_replace(s, r"[ \t]+", " ")
-    s = F.regexp_replace(s, f"(?m)^{_WSX}+|{_WSX}+$", "")  # line strip
+    # (?d) = UNIX_LINES: only \n terminates a line for ^/$ — Java's
+    # default MULTILINE also breaks at \r, U+0085, U+2028, U+2029,
+    # which the Python spec (str.split('\n')) does not
+    s = F.regexp_replace(s, f"(?dm)^{_WSX}+|{_WSX}+$", "")  # line strip
     s = F.regexp_replace(s, r"\n{2,}", "\n")               # drop empties
     return F.regexp_replace(s, r"^\n+|\n+$", "")
 

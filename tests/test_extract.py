@@ -71,6 +71,18 @@ def test_hybrid_extract_adversarial_rows(spark):
         b"\xef\xbb\xbf<p>bom &amp; text</p>",
         b"",                                  # empty
         None,                                 # null html
+        # --- round-2 ADVICE adversarial rows ---
+        b"<p>a &amp b</p>",                  # SEMICOLONLESS named ref
+        b"<p>&copy 2024 &REG x</p>",         # semicolonless, mixed case
+        b"<p>&ampx</p>",                     # longest-prefix: '&x'
+        b"<p>it&#39s &#65 &#x41 ok</p>",     # semicolonless numeric
+        b"<p>a=1&b=2&amp;c=3</p>",           # bare & in a query string
+        b"<p>&notin; &not x</p>",            # ';'-entity + prefix form
+        b"<p>a \rb</p>",                     # internal CR, space kept
+        b"<p>a \xc2\x85b</p>",               # NEL is not a line break
+        b"<p>a \xe2\x80\xa8b</p>",           # U+2028 line sep, internal
+        b"<p>a \xe2\x80\xa9.</p>",           # U+2029 para sep, internal
+        b"<p>end \r</p><p>x</p>",            # trailing CR at line end
     ]
     rows = [(f"u{i}", b) for i, b in enumerate(blobs)]
     df = spark.createDataFrame(rows, "url string, html binary")
@@ -83,6 +95,12 @@ def test_hybrid_extract_adversarial_rows(spark):
     assert want["u3"] == "&lt; stays"
     assert want["u4"] == "5 < 6 & 7 > 2 \"q\" 'a'"
     assert want["u12"] is None
+    # semicolonless conversions (html.unescape spec step 4)
+    assert want["u13"] == "a & b"
+    assert want["u15"] == "&x"
+    assert want["u16"] == "it's A A ok"
+    # internal \r survives (only \n splits lines in the frozen spec)
+    assert want["u19"] == "a \rb"
 
 
 def test_quarantine_split(spark):
