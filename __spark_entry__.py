@@ -308,7 +308,7 @@ def _q_ann_ivf(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_cosine_topk(e, q, k=5, centroid_stride=32, n_probe=4) \
+    return ivf_cosine_topk(e, q, k=5, n_centroids=64, n_probe=8) \
         .orderBy("query_id", "rank")
 
 
@@ -370,11 +370,63 @@ def _q_graph_affected_roots(spark, sf_dir):
                           root_prefix="p:", max_depth=3).orderBy("key")
 
 
+def _q_graph_reachability_tombstoned(spark, sf_dir):
+    """Tombstone-aware BFS (SURVEY G3/T4 composition, the reference's
+    noVuln skip during vulnerability search, inmem/path.go:314): the
+    same trade-graph closure from c:1, but suppliers with
+    s_suppkey % 7 == 0 are tombstoned ('scanned clean') — neither
+    reported nor traversed THROUGH, so customers reachable only via
+    them drop out of the closure too. Oracle: recursive CTE whose
+    recursion refuses tombstoned destinations."""
+    from guackg.graph import reachable_from
+    edges = _bipartite_edges(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    skip = s.filter(F.col("s_suppkey") % 7 == 0).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("key"))
+    return reachable_from(edges, ["c:1"], max_depth=3, skip_keys=skip) \
+        .orderBy("depth", "key")
+
+
+def _ann_value_gate(spark, sf_dir, topk_fn, **kw):
+    """Shared value gate for the probabilistic ANN paths: every
+    returned (query_id, vec_id, cosine) must appear in the
+    exhaustively-scored exact set with the IDENTICAL round-6 cosine —
+    LSH/IVF approximate the CANDIDATE SET, never the score. Expected
+    EMPTY (left-anti vs all exact scores, no top-k filter)."""
+    from guackg.ops.similarity import _cosine
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = topk_fn(e, q, k=5, **kw).select("query_id", "vec_id", "cosine")
+    qq = q.select("query_id", F.col("embedding").alias("qe"))
+    ee = e.select("vec_id", F.col("embedding").alias("ve"))
+    exact = (ee.crossJoin(F.broadcast(qq))
+             .filter(F.col("query_id") != F.col("vec_id"))
+             .select("query_id", "vec_id",
+                     F.round(_cosine("qe", "ve"), 6).alias("cosine")))
+    return got.join(exact, on=["query_id", "vec_id", "cosine"],
+                    how="left_anti")
+
+
+def _q_ann_lsh_containment(spark, sf_dir):
+    from guackg.ops.similarity import lsh_cosine_topk
+    return _ann_value_gate(spark, sf_dir, lsh_cosine_topk,
+                           n_planes=4, n_tables=16)
+
+
+def _q_ann_ivf_containment(spark, sf_dir):
+    from guackg.ops.similarity import ivf_cosine_topk
+    return _ann_value_gate(spark, sf_dir, ivf_cosine_topk,
+                           n_centroids=64, n_probe=8)
+
+
 def _q_semver_range_match(spark, sf_dir):
-    """Version-range theta join (SURVEY J4, depversion.go:43-91):
-    constraints synthesized from supplier keys match versions
-    synthesized from part keys — equi-join on package name + integer
-    range filter, all JVM-side."""
+    """Version-range theta join (SURVEY J4, depversion.go:43-91) WITH
+    npm-style `||` unions (depversion.go:93-130): constraints
+    synthesized from supplier keys — every third dep gets a
+    ' || >=4.0.0' union branch — match versions synthesized from part
+    keys; split+explode into one equi-join on package name + integer
+    range filter, all JVM-side, set-union dedup on the output."""
     from guackg.ops.version import version_range_join
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
@@ -396,7 +448,9 @@ def _q_semver_range_match(spark, sf_dir):
         .alias("name"),
         F.concat(op, (F.col("s_suppkey") % 5).cast("string"), F.lit("."),
                  (F.col("s_suppkey") % 10).cast("string"), F.lit("."),
-                 (F.col("s_suppkey") % 7).cast("string"))
+                 (F.col("s_suppkey") % 7).cast("string"),
+                 F.when(F.col("s_suppkey") % 3 == 0,
+                        F.lit(" || >=4.0.0")).otherwise(F.lit("")))
         .alias("constraint_str"),
     )
     out = version_range_join(deps, versions,
@@ -665,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_counts": R.events_tumbling_counts,
         "event_sessionization": R.event_sessionization,
         "graph_reachability": _q_graph_reachability,
+        "graph_reachability_tombstoned": _q_graph_reachability_tombstoned,
         "graph_toposort_levels": _q_graph_toposort,
         "graph_blast_radius": _q_graph_blast_radius,
         "graph_affected_roots": _q_graph_affected_roots,
@@ -703,7 +758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_word_mentions": _q_word_mentions,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_cosine_topk": _q_ann_lsh,
+        "ann_lsh_containment": _q_ann_lsh_containment,
         "ann_ivf_cosine_topk": _q_ann_ivf,
+        "ann_ivf_containment": _q_ann_ivf_containment,
     }
 
 
@@ -844,6 +901,28 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY key
             ORDER BY depth, key
         """,
+        "graph_reachability_tombstoned": """
+            WITH RECURSIVE e AS (
+                SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+                UNION ALL
+                SELECT 's:' || l_suppkey, 'c:' || o_custkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT 'c:1' AS key, 0 AS depth
+                UNION
+                SELECT e.dst, r.depth + 1
+                FROM r JOIN e ON r.key = e.src
+                WHERE r.depth < 3
+                  AND e.dst NOT IN (SELECT 's:' || s_suppkey
+                                    FROM supplier WHERE s_suppkey % 7 = 0)
+            )
+            SELECT key, CAST(min(depth) AS INT) AS depth
+            FROM r GROUP BY key
+            ORDER BY depth, key
+        """,
         "graph_toposort_levels": """
             WITH sup AS (SELECT DISTINCT l_suppkey FROM lineitem),
                  nat AS (SELECT DISTINCT s_nationkey
@@ -933,11 +1012,23 @@ def oracle_sql() -> dict[str, str]:
                        'pkg' || (s_suppkey % 40) AS name,
                        ['^','~','>=','<','='][(s_suppkey % 5)::INT + 1] AS op,
                        s_suppkey % 5 AS x, s_suppkey % 10 AS y,
-                       s_suppkey % 7 AS z
+                       s_suppkey % 7 AS z,
+                       (s_suppkey % 3 = 0) AS has_union
                 FROM supplier
-            ), bounds AS (
+            ), cons AS (
                 SELECT dep_id, name,
-                       op || x || '.' || y || '.' || z AS constraint_str,
+                       op || x || '.' || y || '.' || z ||
+                       CASE WHEN has_union THEN ' || >=4.0.0'
+                            ELSE '' END AS constraint_str,
+                       op, x, y, z, has_union
+                FROM deps
+            ), branches AS (
+                SELECT dep_id, name, constraint_str, op, x, y, z FROM cons
+                UNION ALL
+                SELECT dep_id, name, constraint_str, '>=', 4, 0, 0
+                FROM cons WHERE has_union
+            ), bounds AS (
+                SELECT dep_id, name, constraint_str,
                        CASE WHEN op = '<' THEN 0
                             ELSE x * 1000000 + y * 1000 + z END AS lo,
                        CASE op WHEN '=' THEN x * 1000000 + y * 1000 + z + 1
@@ -946,9 +1037,10 @@ def oracle_sql() -> dict[str, str]:
                                WHEN '>=' THEN 999999999999
                                WHEN '<' THEN x * 1000000 + y * 1000 + z
                        END AS hi
-                FROM deps
+                FROM branches
             )
-            SELECT dep_id, b.name AS name, constraint_str, version, vnum
+            SELECT DISTINCT dep_id, b.name AS name, constraint_str,
+                   version, vnum
             FROM bounds b JOIN versions v ON b.name = v.name
             WHERE vnum >= lo AND vnum < hi
             ORDER BY dep_id, vnum, version
@@ -1116,6 +1208,14 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_containment": """
             SELECT vec_id AS vec_a, vec_id AS vec_b,
                    0.0::DOUBLE AS cosine
+            FROM embeddings WHERE 1 = 0
+        """,
+        "ann_lsh_containment": """
+            SELECT vec_id AS query_id, vec_id, 0.0::DOUBLE AS cosine
+            FROM embeddings WHERE 1 = 0
+        """,
+        "ann_ivf_containment": """
+            SELECT vec_id AS query_id, vec_id, 0.0::DOUBLE AS cosine
             FROM embeddings WHERE 1 = 0
         """,
         "multimodal_decode": r"""
@@ -1430,11 +1530,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # no oracle (not SQL-expressible, rows-only check):
         #   dedup_minhash_lsh_pairs, dedup_simhash_pairs,
-        #   ann_lsh_cosine_topk, emb_near_dup_lsh_pairs — probabilistic
-        #   candidate generation (xxhash64 / hyperplane signs are not
+        #   ann_lsh_cosine_topk, ann_ivf_cosine_topk,
+        #   emb_near_dup_lsh_pairs — probabilistic candidate
+        #   generation (xxhash64 / hyperplane signs are not
         #   reproducible in DuckDB). Their CORRECTNESS is gated by the
         #   oracle-backed containment/exactness entries above
         #   (dedup_minhash_containment, dedup_simhash_exactness,
-        #   emb_lsh_containment: violations vs the exact ops == empty
-        #   relation) plus pytest recall bounds (tests/test_ops.py).
+        #   emb_lsh_containment, ann_lsh_containment,
+        #   ann_ivf_containment: violations vs the exact ops == empty
+        #   relation — the ANN gates check every returned cosine VALUE
+        #   against the exhaustive exact scoring) plus pytest recall
+        #   bounds (tests/test_ops.py).
     }

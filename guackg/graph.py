@@ -42,9 +42,17 @@ def neighbors(edges: DataFrame, key: str,
 
 def reachable_from(edges: DataFrame, start_keys: list[str],
                    max_depth: int = 5,
-                   preds: list[str] | None = None) -> DataFrame:
+                   preds: list[str] | None = None,
+                   skip_keys: DataFrame | None = None) -> DataFrame:
     """Directed closure: (key, depth) for everything reachable from
-    start_keys in ≤ max_depth hops. Iterative frontier joins."""
+    start_keys in ≤ max_depth hops. Iterative frontier joins.
+
+    `skip_keys` (a 1-column DataFrame of keys) is the tombstone-aware
+    search: nodes in the set are neither reported nor traversed
+    THROUGH — the reference's BFS skips noVuln ('scanned clean')
+    nodes during vulnerability search exactly this way
+    (inmem/path.go:314). Implemented as one left-anti join per
+    frontier round (the skip set is typically tiny: broadcast)."""
     spark = edges.sparkSession
     e = edges.select(F.col("subj_key").alias("src"),
                      F.col("obj_key").alias("dst"),
@@ -53,6 +61,10 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
         e = e.filter(F.col("pred").isin(preds))
     e = e.select("src", "dst").distinct().persist()
     e.count()
+    skip = None
+    if skip_keys is not None:
+        skip = skip_keys.select(
+            F.col(skip_keys.columns[0]).alias("key")).distinct()
 
     visited = spark.createDataFrame([(k, 0) for k in start_keys],
                                     "key string, depth int")
@@ -61,9 +73,10 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
         nxt = (frontier.join(e, frontier.key == e.src)
                .select(F.col("dst").alias("key"))
                .distinct()
-               .join(visited.select("key"), on="key", how="left_anti")
-               .withColumn("depth", F.lit(depth))
-               .localCheckpoint())
+               .join(visited.select("key"), on="key", how="left_anti"))
+        if skip is not None:
+            nxt = nxt.join(skip, on="key", how="left_anti")
+        nxt = nxt.withColumn("depth", F.lit(depth)).localCheckpoint()
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt).localCheckpoint()
@@ -123,11 +136,14 @@ def blast_radius(edges: DataFrame, start_keys: list[str],
 
 def affected_roots(edges: DataFrame, seed_keys: list[str],
                    root_prefix: str, max_depth: int = 5,
-                   preds: list[str] | None = None) -> DataFrame:
+                   preds: list[str] | None = None,
+                   skip_keys: DataFrame | None = None) -> DataFrame:
     """Which roots are affected by a seed node: reverse-reachability
     from the seeds, filtered to keys of the root namespace — the
     vuln→top-level-products search (inmem/search.go:53-139: walk
     backlinks from the vulnerability, keep product-kind nodes).
+    `skip_keys` = tombstoned ('scanned clean') nodes excluded from the
+    walk, path.go:314 semantics.
 
     Composition of primitives: `reachable_from` over REVERSED edges +
     a prefix filter (on a nodes table this is a kind equi-join; the
@@ -136,7 +152,7 @@ def affected_roots(edges: DataFrame, seed_keys: list[str],
                        "pred",
                        F.col("subj_key").alias("obj_key"))
     closure = reachable_from(rev, seed_keys, max_depth=max_depth,
-                             preds=preds)
+                             preds=preds, skip_keys=skip_keys)
     return closure.filter(F.col("key").startswith(root_prefix))
 
 
@@ -166,15 +182,20 @@ def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
         found = not nxt.filter(F.col("key") == dst_key).isEmpty()
-    e.unpersist()
     if not found:
+        e.unpersist()
         return None
-    # walk parent pointers (tiny: one row per path node)
-    parents = {r.key: r.parent for r in visited.collect()}
+    # walk parent pointers with per-hop lookups instead of collecting
+    # the whole visited closure (round-2 finding #4: a 100×-scale
+    # closure does not fit on the driver; the PATH always does —
+    # ≤ max_depth+1 rows, one distributed filter per hop)
     path, cur = [], dst_key
     while cur is not None:
         path.append(cur)
-        cur = parents.get(cur)
+        row = visited.filter(F.col("key") == cur) \
+            .select("parent").first()
+        cur = row.parent if row is not None else None
+    e.unpersist()
     return list(reversed(path))
 
 

@@ -71,6 +71,14 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     nodes[kind←canonical_key] and edges[pred∈keys]), so a key can
     never move between partitions.
 
+    `partition_by` may be MULTI-LEVEL (e.g. ["pred", "bucket"] where
+    bucket = pmod(xxhash64(subj_key), B)): pruning then happens on the
+    partition TUPLE, so a delta touching one bucket of a huge
+    partition (the 'mentions' pred) rewrites only that bucket's
+    directory, never the sibling buckets — the fix for the round-2
+    "any mention increment rewrites 80% of the table" finding. The
+    affected-tuples collect stays metadata-sized (|pred| × B, O(100)).
+
     `keys` must be unique within `df`; this is enforced with a
     dropDuplicates so first-write and merge semantics are identical —
     UNLESS the caller passes `assume_unique=True`, asserting the
@@ -79,6 +87,12 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     flag removes a full-frame shuffle from the sink.
     """
     new = df if assume_unique else df.dropDuplicates(keys)
+    multi = partition_by is not None and len(partition_by) > 1
+    if multi:
+        # one file per partition dir instead of (tasks × dirs) shards:
+        # hash-repartition on the partition tuple before the fan-out
+        # write (AQE coalesces small buckets)
+        new = new.repartition(*[F.col(c) for c in partition_by])
     if not table_exists(path):
         write_table(new, path, partition_by)
         return
@@ -89,26 +103,53 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
         write_table(merged, path, partition_by)
         return
 
-    # partition-pruned merge: only partitions containing new keys are
-    # touched. The affected-values collect is bounded by the partition
-    # column's cardinality (kind / pred: O(10)) — not by data size.
-    assert len(partition_by) == 1, "single-level partitioning only"
-    pcol = partition_by[0]
-    affected = [r[0] for r in new.select(pcol).distinct().collect()]
-    old_hit = old.filter(F.col(pcol).isin(affected))
+    # partition-pruned merge: only partition TUPLES containing new
+    # keys are touched. The affected-values collect is bounded by the
+    # partition columns' cardinality (kind / pred×bucket: O(100)) —
+    # not by data size.
+    affected = new.select(*partition_by).distinct().collect()
+    if multi:
+        # per first-level value, an IN-list on the second level —
+        # Catalyst turns this into partition-directory pruning
+        by_head: dict[object, list] = {}
+        for r in affected:
+            by_head.setdefault(r[0], []).append(r[1])
+        pred = None
+        for head, tails in by_head.items():
+            clause = ((F.col(partition_by[0]) == head)
+                      & F.col(partition_by[1]).isin(tails))
+            pred = clause if pred is None else (pred | clause)
+    else:
+        pred = F.col(partition_by[0]).isin([r[0] for r in affected])
+    old_hit = old.filter(pred)
     merged = old_hit.join(new.select(keys).distinct(), on=keys,
                           how="left_anti").unionByName(new)
+    if multi:
+        merged = merged.repartition(*[F.col(c) for c in partition_by])
 
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
     # swap ONLY the affected partition subdirs into place (per-dir
     # atomic rename — the parquet analog of Iceberg's partition-level
-    # snapshot commit)
+    # snapshot commit), walking the partition tree to the leaf level
+    _swap_partition_dirs(tmp, path, partition_by)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _swap_partition_dirs(tmp: str, path: str,
+                         partition_by: list[str], level: int = 0) -> None:
+    """Move every `col=value` leaf dir from tmp into path (per-dir
+    atomic os.replace), recursing through multi-level partitioning."""
+    pcol = partition_by[level]
     for entry in os.listdir(tmp):
         if not entry.startswith(f"{pcol}="):
             continue
+        src = os.path.join(tmp, entry)
         dst = os.path.join(path, entry)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        os.replace(os.path.join(tmp, entry), dst)
-    shutil.rmtree(tmp, ignore_errors=True)
+        if level + 1 < len(partition_by):
+            os.makedirs(dst, exist_ok=True)
+            _swap_partition_dirs(src, dst, partition_by, level + 1)
+        else:
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.replace(src, dst)

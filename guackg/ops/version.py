@@ -3,14 +3,18 @@ version-constraint resolution (/root/reference/pkg/misc/depversion/
 depversion.go:43-91: parse a constraint set, test each known version)
 re-expressed as a relational theta join.
 
-Constraint grammar (the subset the battery exercises; the reference's
-npm-style grammar adds ||-unions which compose as a UNION of these):
+Constraint grammar (the subset the battery exercises, INCLUDING the
+reference's npm-style `||` unions, depversion.go:93-130):
 
     =X.Y.Z    exactly X.Y.Z
     ^X.Y.Z    >=X.Y.Z and < (X+1).0.0      (caret: same major)
     ~X.Y.Z    >=X.Y.Z and < X.(Y+1).0      (tilde: same minor)
     >=X.Y.Z   at or above
     <X.Y.Z    strictly below
+    A || B    union: matches A or B (each side any of the above);
+              implemented as split + explode into the same range join,
+              deduped on the output key — set-union semantics, a
+              version matching both branches appears once
 
 Everything is JVM-side: versions and constraint bounds parse with
 regexp_extract into ONE sortable bigint (major·10^6 + minor·10^3 +
@@ -79,14 +83,23 @@ def version_range_join(deps: DataFrame, versions: DataFrame,
     """deps(name, constraint, …) ⋈ versions(name, version, …) →
     every (dep, version) pair whose version satisfies the constraint
     (depversion.go's WhichVersionMatches, as one equi-join + range
-    filter). Output keeps all columns of both sides plus the parsed
-    `vnum`."""
-    lo, hi = constraint_bounds(F.col(constraint_col))
-    d = deps.withColumn("_lo", lo).withColumn("_hi", hi) \
+    filter). `||` unions (depversion.go:93-130) explode into one
+    branch row each BEFORE the join; branches that match the same
+    version collapse via dropDuplicates on the pre-explode columns,
+    so the result is the set union. Output keeps all columns of both
+    sides plus the parsed `vnum`."""
+    in_cols = deps.columns
+    branch = F.explode(F.transform(
+        F.split(F.col(constraint_col), r"\s*\|\|\s*"),
+        lambda c: F.trim(c)))
+    d = deps.withColumn("_branch", branch)
+    lo, hi = constraint_bounds(F.col("_branch"))
+    d = d.withColumn("_lo", lo).withColumn("_hi", hi) \
         .filter(F.col("_lo").isNotNull())
     v = versions.withColumn("vnum", version_num(F.col(version_col))) \
         .filter(F.col("vnum").isNotNull())
     return (d.join(v, on=name_col)
             .filter((F.col("vnum") >= F.col("_lo"))
                     & (F.col("vnum") < F.col("_hi")))
-            .drop("_lo", "_hi"))
+            .drop("_lo", "_hi", "_branch")
+            .dropDuplicates(in_cols + [version_col]))

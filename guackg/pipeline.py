@@ -206,10 +206,18 @@ class KGPipeline:
                 edges = edges.unionByName(
                     page_mention_edges(out["triples_resolved"], page_keys))
             # assume_unique: both branches are groupBys on the edge key
-            # and pred='mentions' is disjoint from the predicate vocab
+            # and pred='mentions' is disjoint from the predicate vocab.
+            # Two-level partitioning (pred, bucket(subj_key)): pred has
+            # cardinality O(10) and 'mentions' holds ~80% of all edges,
+            # so pruning on pred alone rewrites most of the table per
+            # increment — the subj_key hash bucket (key-derived, so a
+            # key never moves partitions) prunes rewrites to the
+            # buckets the delta actually touches (round-2 finding #3).
+            edges = edges.withColumn(
+                "bucket", F.pmod(F.xxhash64("subj_key"), F.lit(32)))
             gio.merge_upsert(self.spark, edges, self._out("edges"),
                              keys=["subj_key", "pred", "obj_key"],
-                             partition_by=["pred"],
+                             partition_by=["pred", "bucket"],
                              assume_unique=True)
             self.stage_secs["edges_merge"] = round(time.time() - t0, 2)
             out["nodes"] = gio.read_table(self.spark, self._out("nodes"))

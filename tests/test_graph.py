@@ -92,3 +92,20 @@ def test_find_entities_nullable_spec(spark):
     assert find_entities(nodes).count() == 2
     assert find_entities(nodes, kind="org").count() == 1
     assert find_entities(nodes, key_prefix="ent:person/").count() == 1
+
+
+def test_reachable_from_skip_keys_tombstones(spark, edges):
+    """path.go:314 noVuln-skip semantics: tombstoned nodes are neither
+    reported nor traversed through — everything reachable ONLY via
+    them drops out of the closure."""
+    skip = spark.createDataFrame([("c",)], "key string")
+    got = {(r.key, r.depth)
+           for r in reachable_from(edges, ["a"], max_depth=5,
+                                   skip_keys=skip).collect()}
+    # without the tombstone: a->b->c->d->e and c->f
+    assert got == {("a", 0), ("b", 1)}
+    # skip set empty == plain closure
+    empty = spark.createDataFrame([], "key string")
+    base = {r.key for r in reachable_from(edges, ["a"], max_depth=5,
+                                          skip_keys=empty).collect()}
+    assert base == {"a", "b", "c", "d", "e", "f"}

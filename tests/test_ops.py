@@ -67,7 +67,7 @@ def test_ivf_ann_recall_and_cosine_truth(emb):
     exact = {(r.query_id, r.vec_id) for r in exact_rows}
     true_cos = {(r.query_id, r.vec_id): r.cosine
                 for r in cosine_topk(emb, q, k=200).collect()}
-    ivf_rows = ivf_cosine_topk(emb, q, k=5, centroid_stride=16,
+    ivf_rows = ivf_cosine_topk(emb, q, k=5, n_centroids=32,
                                n_probe=16).collect()
     approx = {(r.query_id, r.vec_id) for r in ivf_rows}
     for r in ivf_rows:
@@ -80,7 +80,7 @@ def test_ivf_ann_recall_and_cosine_truth(emb):
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
     # determinism: no random state anywhere
     again = {(r.query_id, r.vec_id)
-             for r in ivf_cosine_topk(emb, q, k=5, centroid_stride=16,
+             for r in ivf_cosine_topk(emb, q, k=5, n_centroids=32,
                                       n_probe=16).collect()}
     assert approx == again
 

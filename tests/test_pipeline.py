@@ -181,24 +181,63 @@ def test_incremental_ingest_reentrant(spark, pages_df, alias_df,
     cover exactly the keys of a single A∪B run (natural-key upserts
     make re-entry safe; per-edge evidence is latest-wins, guac's
     upsert overwrite semantics)."""
+    import hashlib
+
     a = pages_df.limit(150)
     b = pages_df.subtract(a)
 
     wd_inc = str(tmp_path_factory.mktemp("kginc"))
     pipe = KGPipeline(spark, wd_inc)
     pipe.run(a, alias_df, assertions_df, input_fingerprint="batch-a")
+
+    def edges_snapshot(wd):
+        table = os.path.join(wd, "edges")
+        snap = {}
+        for root, _dirs, files in os.walk(table):
+            rel = os.path.relpath(root, table)
+            if "bucket=" not in rel:
+                continue
+            snap[rel] = {
+                f: hashlib.sha256(
+                    open(os.path.join(root, f), "rb").read()).hexdigest()
+                for f in files}
+        return snap
+
     out_inc = KGPipeline(spark, wd_inc).run(
         b, alias_df, assertions_df, input_fingerprint="batch-b")
+    # materialize the A∪B key sets NOW: the batch-c re-ingest below
+    # swaps partition files under the same workdir, so these lazy
+    # DataFrames would otherwise chase stale file handles
+    n_inc = {r.canonical_key for r in out_inc["nodes"].collect()}
+    e_inc = {(r.subj_key, r.pred, r.obj_key)
+             for r in out_inc["edges"].collect()}
+
+    # two-level MERGE pruning (round-2 verdict finding #3): a TINY
+    # re-ingest (3 pages) must rewrite only the (pred, bucket) leaf
+    # dirs its delta actually carries — which are exactly the leaf
+    # dirs a C-only first write produces — and leave every other leaf
+    # dir of the big table byte-identical.
+    c = a.limit(3)
+    snap_before = edges_snapshot(wd_inc)
+    wd_c = str(tmp_path_factory.mktemp("kgconly"))
+    KGPipeline(spark, wd_c).run(c, alias_df, assertions_df,
+                                input_fingerprint="batch-c")
+    c_tuples = set(edges_snapshot(wd_c))
+    KGPipeline(spark, wd_inc).run(c, alias_df, assertions_df,
+                                  input_fingerprint="batch-c")
+    snap_after = edges_snapshot(wd_inc)
+    untouched = [d for d in snap_before if d not in c_tuples]
+    assert untouched, "expected some buckets untouched by the delta"
+    for d in untouched:
+        assert snap_after[d] == snap_before[d], \
+            f"untouched {d} was rewritten"
 
     wd_full = str(tmp_path_factory.mktemp("kgfull"))
     out_full = KGPipeline(spark, wd_full).run(
         pages_df, alias_df, assertions_df, input_fingerprint="batch-ab")
 
-    n_inc = {r.canonical_key for r in out_inc["nodes"].collect()}
     n_full = {r.canonical_key for r in out_full["nodes"].collect()}
     assert n_inc == n_full
-    e_inc = {(r.subj_key, r.pred, r.obj_key)
-             for r in out_inc["edges"].collect()}
     e_full = {(r.subj_key, r.pred, r.obj_key)
               for r in out_full["edges"].collect()}
     assert e_inc == e_full

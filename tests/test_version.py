@@ -52,3 +52,21 @@ def test_name_scoping(spark):
         "name string, version string")
     out = version_range_join(deps, vers).collect()
     assert [(r["name"], r["version"]) for r in out] == [("left", "1.5.0")]
+
+
+def test_union_constraints(spark):
+    """npm-style `||` unions (depversion.go:93-130): each branch joins
+    independently; the result is the SET union (a version matching
+    both branches appears once)."""
+    got = _join(spark, ["~1.2.3 || >=2.0.0", "^1.0.0 || ^1.2.0",
+                        "=0.9.9||=2.1.0"],
+                ["0.9.9", "1.2.2", "1.2.3", "1.2.9", "1.3.0", "1.9.9",
+                 "2.0.0", "2.1.0"])
+    assert got["~1.2.3 || >=2.0.0"] == {"1.2.3", "1.2.9", "2.0.0", "2.1.0"}
+    # overlapping branches dedup to the set union
+    assert got["^1.0.0 || ^1.2.0"] == {"1.2.2", "1.2.3", "1.2.9",
+                                       "1.3.0", "1.9.9"}
+    assert got["=0.9.9||=2.1.0"] == {"0.9.9", "2.1.0"}
+    # an unparseable branch never matches; the good branch still does
+    got2 = _join(spark, ["garbage || =1.2.3"], ["1.2.3", "1.2.4"])
+    assert got2["garbage || =1.2.3"] == {"1.2.3"}
