@@ -34,9 +34,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
+def run_bench(cpus: int, sf_dir: str, master: str | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir)
+    if master is not None:
+        env["GUACKG_MASTER"] = master
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -48,6 +50,26 @@ def main() -> None:
     n_small = int(os.environ.get("GUACKG_SCALE_N", "2"))
     n_big = 4 * n_small
     repeats = int(os.environ.get("GUACKG_SCALE_REPEATS", "3"))
+    # mode=local-cluster: the north rule's criterion is EXECUTOR
+    # scaling — N vs 4N separate executor JVMs (each owning its own
+    # python workers, Arrow exchange, and GC), the honest in-sandbox
+    # stand-in for two cluster sizes. n_small/n_big then count
+    # EXECUTORS; each executor gets GUACKG_SCALE_EXEC_CORES cores.
+    mode = os.environ.get("GUACKG_SCALE_MODE", "local")
+    exec_cores = int(os.environ.get("GUACKG_SCALE_EXEC_CORES", "4"))
+    exec_mem_mb = int(os.environ.get("GUACKG_SCALE_EXEC_MEM_MB", "8192"))
+
+    def master_of(n: int) -> str | None:
+        if mode != "local-cluster":
+            return None
+        return f"local-cluster[{n},{exec_cores},{exec_mem_mb}]"
+
+    def cores_of(n: int) -> int:
+        return n * exec_cores if mode == "local-cluster" else n
+
+    def label_of(n: int) -> str:
+        m = master_of(n)
+        return m if m is not None else f"local[{n}]"
 
     os.environ["GUACKG_BENCH_QUERIES"] = "0"  # only the pipeline feeds
     # the efficiency metric; query timings come from the plain bench
@@ -57,8 +79,10 @@ def main() -> None:
         if i == repeats - 1:
             os.environ["GUACKG_BENCH_QUERIES"] = "1"  # last round keeps
             # the operator-query timings for the report
-        runs[n_small].append(run_bench(n_small, sf_dir))
-        runs[n_big].append(run_bench(n_big, sf_dir))
+        runs[n_small].append(
+            run_bench(cores_of(n_small), sf_dir, master_of(n_small)))
+        runs[n_big].append(
+            run_bench(cores_of(n_big), sf_dir, master_of(n_big)))
 
     med = {c: max(r["value"] for r in rs)  # best throughput, timeit-style
            for c, rs in runs.items()}
@@ -83,16 +107,57 @@ def main() -> None:
         vals = ", ".join(str(r["value"]) for r in runs[c])
         secs = ", ".join(str(r["queries"]["kg_pipeline_e2e"])
                          for r in runs[c])
-        return (f"| local[{c}] | {r0['pages']} | {r0['triples']} | "
+        return (f"| {label_of(c)} | {r0['pages']} | {r0['triples']} | "
                 f"**{med[c]}** | {vals} | {secs} |")
+
+    mode_desc = (
+        f"multi-executor-JVM local-cluster mode — {n_small} vs {n_big} "
+        f"SEPARATE executor JVMs, {exec_cores} cores each, each with "
+        "its own python workers, Arrow exchange, shuffle server and "
+        "GC (the honest in-sandbox stand-in for two cluster sizes)"
+        if mode == "local-cluster" else
+        'local mode, two parallelism levels ("N and 4N cores") per '
+        "the driver instruction")
+    if mode == "local-cluster":
+        mode_section = f"""## Why local-cluster executor JVMs
+
+The north-rule criterion is EXECUTOR scaling, and single-JVM local
+mode is a hostile stand-in for it: all python workers funnel through
+one JVM's Arrow exchange, one shuffle server, and one GC (measured
+round 2: an identity pandas UDF over the same 3 GB of blobs runs
+0.7 s with 8 workers vs 2.8-4.0 s with 32 in one JVM — the exchange,
+not compute). This run instead uses Spark's `local-cluster[{n_small}→
+{n_big},{exec_cores},{exec_mem_mb}]` master: {n_small} vs {n_big}
+separate executor JVM processes, each owning {exec_cores} cores, its
+own python workers, Arrow channels, shuffle server, and heap — the
+same process topology as {n_small} vs {n_big} single-node executors
+in a real cluster, minus the network. Engine config that carries
+over (guackg/session.py): 256-row Arrow batches for heavy blob rows,
+unix-domain worker sockets, RAM-disk shuffle dirs, capped GC threads
+per JVM."""
+    else:
+        mode_section = """## Why N=2 vs 8 and not 8 vs 32
+
+The north-rule criterion is executor scaling. This sandbox runs ONE
+JVM with in-process task threads; beyond ~16 concurrent python
+workers the JVM↔Python Arrow exchange and the kernel page allocator
+saturate — measured directly with an identity pandas UDF over the
+same 3 GB of page blobs: 0.7 s at 8 workers vs 2.8-4.0 s at 32 (the
+exchange, not compute; raw python multiprocessing scales 25.9× at 32
+procs on this box, and JVM-only operator queries scale to 32 cores).
+A real 4N-executor cluster shards the exchange per executor process
+and per node, so this single-JVM ceiling does not apply. Mitigations
+that ARE in the engine config (guackg/session.py): 256-row Arrow
+batches for heavy blob rows (4096-row batches measured 7× slower at
+32 tasks — G1 humongous allocations), unix-domain worker sockets,
+RAM-disk shuffle dirs, capped GC threads."""
 
     md = f"""# BENCH/BASELINE — measured numbers (guackg)
 
-Generated {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())} on
-local mode, same machine, same input ({r0['pages']} synthetic webtext
-pages, ~6-16 KB extracted text each, at SF={r0['sf']}), per the driver
-instruction that two parallelism levels ("N and 4N cores") substitute
-for two cluster sizes. {repeats} interleaved runs per config; the
+Generated {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())} in
+{mode_desc}; same machine, same input ({r0['pages']} synthetic webtext
+pages, ~6-16 KB extracted text each, at SF={r0['sf']}).
+{repeats} interleaved runs per config; the
 headline is the per-config best run, timeit-style (the sandbox
 shows ±30% additive run-to-run slowdowns; raw runs shown).
 
@@ -126,23 +191,9 @@ target 10^12-document scale the same seconds amortize to ~0 and
 efficiency converges to the corpus-proportional ratio. Both
 residuals are reported, not hidden.
 
-## Why N=2 vs 8 and not 8 vs 32
+{mode_section}
 
-The north-rule criterion is executor scaling. This sandbox runs ONE
-JVM with in-process task threads; beyond ~16 concurrent python
-workers the JVM↔Python Arrow exchange and the kernel page allocator
-saturate — measured directly with an identity pandas UDF over the
-same 3 GB of page blobs: 0.7 s at 8 workers vs 2.8-4.0 s at 32 (the
-exchange, not compute; raw python multiprocessing scales 25.9× at 32
-procs on this box, and JVM-only operator queries scale to 32 cores).
-A real 4N-executor cluster shards the exchange per executor process
-and per node, so this single-JVM ceiling does not apply. Mitigations
-that ARE in the engine config (guackg/session.py): 256-row Arrow
-batches for heavy blob rows (4096-row batches measured 7× slower at
-32 tasks — G1 humongous allocations), unix-domain worker sockets,
-RAM-disk shuffle dirs, capped GC threads.
-
-## Operator query timings (one run at local[{n_big}], seconds)
+## Operator query timings (one run at {label_of(n_big)}, seconds)
 
 {json.dumps(runs[n_big][-1]['queries'], indent=2)}
 """
