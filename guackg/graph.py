@@ -199,6 +199,53 @@ def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
     return list(reversed(path))
 
 
+def bfs_path_edges(edges: DataFrame, src_key: str, dst_key: str,
+                   max_depth: int = 5,
+                   nodes: DataFrame | None = None) -> DataFrame | None:
+    """Shortest path src→dst WITH full edge (and optionally node)
+    properties — the reference's path API returns node/edge OBJECTS,
+    not bare keys (inmem/path.go:141-172 appends the typed edge and
+    both endpoint nodes per hop). `bfs_path` gives the key list; this
+    joins each consecutive hop back against the edges table, so the
+    caller sees pred, n_evidence, first/last_seen, match_level per
+    step. Among parallel edges for a hop the lexicographically
+    smallest (pred, …) wins — deterministic, like every other
+    tie-break in this engine.
+
+    Returns None when unreachable; otherwise a DataFrame
+    (step, subj_key, pred, obj_key, n_evidence, first_seen,
+    last_seen, match_level [, subj_kind, obj_kind]) with exactly
+    len(path)-1 rows. The path is ≤ max_depth hops, so the hop frame
+    is driver-built; the property join stays distributed."""
+    path = bfs_path(edges, src_key, dst_key, max_depth=max_depth)
+    if path is None:
+        return None
+    spark = edges.sparkSession
+    hops = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(zip(path, path[1:]))],
+        "step int, subj_key string, obj_key string")
+    from pyspark.sql import Window
+    w = Window.partitionBy("step").orderBy("pred", "first_seen")
+    out = (F.broadcast(hops).join(edges, on=["subj_key", "obj_key"])
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("step", "subj_key", "pred", "obj_key", "n_evidence",
+                   "first_seen", "last_seen", "match_level"))
+    if nodes is not None:
+        kinds = nodes.select("canonical_key", "kind")
+        out = (out
+               .join(kinds.withColumnRenamed("canonical_key", "subj_key")
+                     .withColumnRenamed("kind", "subj_kind"),
+                     on="subj_key", how="left")
+               .join(kinds.withColumnRenamed("canonical_key", "obj_key")
+                     .withColumnRenamed("kind", "obj_kind"),
+                     on="obj_key", how="left")
+               .select("step", "subj_key", "subj_kind", "pred",
+                       "obj_key", "obj_kind", "n_evidence",
+                       "first_seen", "last_seen", "match_level"))
+    return out.orderBy("step")
+
+
 def toposort_levels(edges: DataFrame) -> DataFrame:
     """Kahn level assignment over the (src→dst) DAG; rows (key, level).
     Nodes still unassigned when a round strips nothing are cyclic

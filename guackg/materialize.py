@@ -168,10 +168,14 @@ def page_mention_edges(resolved: DataFrame,
     mention stream reduces to DISTINCT (url, entity, extractor) rows
     first — the heavy shuffle carries three dictionary-friendly
     columns, no timestamps, no collected sets, and never the 70-char
-    page-sha key. The tiny per-url ts bounds and the (url → page_key)
-    map broadcast-join onto the distinct pairs, and ONE final agg per
-    (page, entity) computes exact evidence (distinct extractors;
-    min/max ts across duplicate-html urls sharing a page_key)."""
+    page-sha key. The per-url ts bounds and the (url → page_key) map
+    then join onto the distinct pairs WITHOUT a broadcast hint: both
+    are O(corpus) relations (one row per url), so forcing a broadcast
+    would serialize an unbounded table through the driver at 10^12
+    docs — AQE picks broadcast only while they measure small. ONE
+    final agg per (page, entity) computes exact evidence (distinct
+    extractors; min/max ts across duplicate-html urls sharing a
+    page_key)."""
     pairs = (resolved
              .select("url", "extractor",
                      F.explode(F.array("subj_key", "obj_key"))
@@ -181,8 +185,8 @@ def page_mention_edges(resolved: DataFrame,
                 .agg(F.min("warc_ts").alias("_ts_min"),
                      F.max("warc_ts").alias("_ts_max")))
     return (pairs
-            .join(F.broadcast(page_keys), on="url")
-            .join(F.broadcast(url_meta), on="url")
+            .join(page_keys, on="url")
+            .join(url_meta, on="url")
             .groupBy(F.col("page_key").alias("subj_key"),
                      F.col("obj_key"))
             .agg(F.countDistinct("extractor").alias("n_evidence"),

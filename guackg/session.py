@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("GUACKG_MAX_PARTITION_BYTES", "16m"))
         .config("spark.driver.memory", os.environ.get("GUACKG_DRIVER_MEM", "8g"))
+        # commit algorithm v2: task-side rename into the job output dir
+        # (parallel, executor-side) instead of a serial driver-side move
+        # of every file at commitJob. Safe here: every guackg sink
+        # already writes to a private tmp dir swapped in atomically
+        # (io.write_table / merge_upsert), so v2's weaker mid-job
+        # atomicity is invisible — and the serial driver rename walk is
+        # a per-job fixed cost that caps executor scaling.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
         .config("spark.ui.enabled", "false")
     )
     if master.startswith("local"):
@@ -71,7 +80,13 @@ def get_spark(
         if master.startswith("local-cluster"):
             # multi-executor-JVM mode (the in-sandbox stand-in for a
             # real N-executor cluster): each executor JVM gets its own
-            # python workers, Arrow exchange, and GC
+            # python workers, Arrow exchange, and GC. Worker JVMs take
+            # their scratch dir from SPARK_LOCAL_DIRS (the standalone
+            # cluster manager overrides spark.local.dir), so export it
+            # before the JVMs launch — shuffle must hit the RAM disk
+            # in every executor, not just the driver.
+            if local_dir:
+                os.environ.setdefault("SPARK_LOCAL_DIRS", local_dir)
             builder = (builder
                        .config("spark.executor.memory",
                                os.environ.get("GUACKG_EXECUTOR_MEM", "8g"))

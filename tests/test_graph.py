@@ -109,3 +109,30 @@ def test_reachable_from_skip_keys_tombstones(spark, edges):
     base = {r.key for r in reachable_from(edges, ["a"], max_depth=5,
                                           skip_keys=empty).collect()}
     assert base == {"a", "b", "c", "d", "e", "f"}
+
+
+def test_bfs_path_edges_full_properties(spark):
+    """path.go:141-172 parity: the path API returns typed edge (and
+    node) objects, not bare keys — and picks deterministically among
+    parallel edges (lexicographically smallest pred)."""
+    from datetime import datetime
+    from guackg.graph import bfs_path_edges
+    ts1, ts2 = datetime(2024, 1, 1), datetime(2024, 6, 1)
+    e = spark.createDataFrame(
+        [("a", "founded_by", "b", 3, ts1, ts2, "exact"),
+         ("b", "works_for", "c", 1, ts1, ts1, "fuzzy"),
+         # parallel edge on the same hop — 'advises' < 'works_for'
+         ("b", "advises", "c", 2, ts2, ts2, "exact")],
+        "subj_key string, pred string, obj_key string, n_evidence long,"
+        "first_seen timestamp, last_seen timestamp, match_level string")
+    nodes = spark.createDataFrame(
+        [(1, "org", "a"), (2, "person", "b"), (3, "org", "c")],
+        "entity_id long, kind string, canonical_key string")
+    rows = bfs_path_edges(e, "a", "c", nodes=nodes).collect()
+    assert [(r.step, r.subj_key, r.pred, r.obj_key) for r in rows] == \
+        [(0, "a", "founded_by", "b"), (1, "b", "advises", "c")]
+    assert rows[0].n_evidence == 3 and rows[0].match_level == "exact"
+    assert rows[1].n_evidence == 2  # the deterministic parallel pick
+    assert [(r.subj_kind, r.obj_kind) for r in rows] == \
+        [("org", "person"), ("person", "org")]
+    assert bfs_path_edges(e, "c", "a") is None
