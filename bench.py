@@ -47,6 +47,12 @@ def main() -> None:
     # young collections stay short at 32 task threads (32g measured
     # slower); 2 waves of shuffle tasks ride out stragglers
     os.environ.setdefault("GUACKG_DRIVER_MEM", "16g")
+    # edge-table bucket count sized to the bench corpus (~10^5-10^6
+    # rows per (pred,bucket) leaf — the parquet row-group sweet spot;
+    # at 7.6M edges the 32-bucket production default makes 320 leaf
+    # files of ~24k rows and the write is per-file-overhead-bound).
+    # Deploy-time constant per table, same rule a cluster deploy uses.
+    os.environ.setdefault("GUACKG_EDGE_BUCKETS", "8")
     from guackg.session import get_spark
     # GUACKG_MASTER may override with local-cluster[N,cores,mem] —
     # separate executor JVMs, the honest N-executor stand-in
