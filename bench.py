@@ -57,8 +57,12 @@ def main() -> None:
     # GUACKG_MASTER may override with local-cluster[N,cores,mem] —
     # separate executor JVMs, the honest N-executor stand-in
     master = os.environ.get("GUACKG_MASTER", f"local[{cpus}]")
+    # 4 tasks per core: with few cores a 2×-cores task count runs
+    # 2-wave stages where one straggler idles the rest of the wave;
+    # 4× gives finer re-balancing grain and AQE coalesces the excess
+    # (standard 2-4× guidance, and the cluster-mode default story)
     spark = get_spark("guackg-bench", master=master,
-                      shuffle_partitions=max(cpus * 2, 8))
+                      shuffle_partitions=max(cpus * 4, 8))
     spark.sparkContext.setLogLevel("ERROR")
     if master.startswith("local-cluster"):
         import zipfile

@@ -57,22 +57,34 @@ def surface_key_col(norm: F.Column) -> F.Column:
     return F.concat(F.lit("sfc:"), norm)
 
 
-def distinct_mentions(triples: DataFrame) -> DataFrame:
-    """All distinct mention surfaces with normalized form. The Zipf
-    head collapses here: downstream linking cost is O(|vocab|), not
-    O(|mentions|)."""
-    surfaces = triples.select(
-        F.explode(F.array("subj_surface", "obj_surface")).alias("surface"))
-    # dedup RAW surfaces before normalizing: the mention stream is
-    # Zipf-distributed, so the regex normalization chain would run
-    # O(mentions) times for an O(vocab)-sized answer. dropDuplicates
-    # does map-side partial dedup — the shuffle already carries only
-    # per-partition distinct surfaces — and the normalizer then runs
-    # on the collapsed vocabulary only (measured: the link stage spent
-    # more time normalizing 9.4M exploded mentions than linking them).
-    return (surfaces.dropDuplicates(["surface"])
+def mention_frequencies(triples: DataFrame) -> DataFrame:
+    """ONE pass over the exploded mention stream → (norm, n_mentions).
+
+    This single table serves BOTH consumers of the mention stream —
+    the linker needs the distinct vocabulary (`select("norm")`), the
+    identifier side-channel needs the counts — so the pipeline scans
+    and shuffles the O(mentions) stream once, not once per consumer.
+
+    Zipf-aware order: count RAW surfaces first (the map-side partial
+    agg collapses the head, so the shuffle carries per-partition
+    distinct surfaces only), normalize the O(vocab) result, then one
+    tiny re-agg sums counts of surfaces sharing a norm (measured: the
+    link stage spent more time normalizing 9.4M exploded mentions
+    than linking them before this ordering)."""
+    return (triples
+            .select(F.explode(F.array("subj_surface", "obj_surface"))
+                    .alias("surface"))
+            .groupBy("surface").agg(F.count("*").alias("_n"))
             .withColumn("norm", normalize_surface_col(F.col("surface")))
-            .select("norm").dropDuplicates(["norm"]))
+            .groupBy("norm").agg(F.sum("_n").alias("n_mentions")))
+
+
+def distinct_mentions(triples: DataFrame) -> DataFrame:
+    """All distinct mention surfaces, normalized. The Zipf head
+    collapses here: downstream linking cost is O(|vocab|), not
+    O(|mentions|). Thin view over `mention_frequencies`; pipelines
+    that materialize the frequency table should reuse it instead."""
+    return mention_frequencies(triples).select("norm")
 
 
 def _shingles(col_name: str) -> F.Column:
@@ -214,7 +226,8 @@ def equivalence_edges_from_links(links: DataFrame) -> DataFrame:
 
 
 def identifier_candidates(links: DataFrame,
-                          triples: DataFrame) -> DataFrame:
+                          triples: DataFrame | None = None,
+                          freq: DataFrame | None = None) -> DataFrame:
     """S9/T12 identifier side-channel: every surface the linker could
     NOT resolve (method = fallback), with its mention frequency and
     synthesized key — the collectsub analog (the reference posts each
@@ -225,17 +238,13 @@ def identifier_candidates(links: DataFrame,
     surface added to the dictionary resolves as `dict` on the next
     ingest (tests/test_link.py exercises the round trip).
 
-    Frequency ranks the curation queue; the count agg is map-side
-    partial, so head surfaces don't create a hot reducer. Same
-    Zipf-aware order as `distinct_mentions`: count RAW surfaces first
-    (partial agg collapses the head), normalize the O(vocab) result,
-    then one tiny re-agg sums counts of surfaces sharing a norm."""
-    freq = (triples
-            .select(F.explode(F.array("subj_surface", "obj_surface"))
-                    .alias("surface"))
-            .groupBy("surface").agg(F.count("*").alias("_n"))
-            .withColumn("norm", normalize_surface_col(F.col("surface")))
-            .groupBy("norm").agg(F.sum("_n").alias("n_mentions")))
+    Frequency ranks the curation queue. Pass `freq` (a materialized
+    `mention_frequencies` table) to reuse the pipeline's single
+    mention-stream pass; with only `triples` the frequencies are
+    computed here (map-side partial agg, so head surfaces don't
+    create a hot reducer)."""
+    if freq is None:
+        freq = mention_frequencies(triples)
     return (links.filter(F.col("method") == "fallback")
             .select("norm", F.col("canonical_key").alias("suggested_key"))
             .join(freq, on="norm", how="left")

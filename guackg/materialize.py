@@ -160,36 +160,39 @@ def page_mention_edges(resolved: DataFrame,
     rows (2× the triple count), and the entity node set is untouched
     (page nodes are appended separately by `page_node_rows`).
 
-    page_keys: (url, page_key) from `guackg.triples.page_nodes` via
-    'page:' || page_sha256.
+    page_keys: (url, warc_ts, page_key) from the extract table via
+    'page:' || page_sha256 — it carries the url-level crawl timestamp
+    so NO second scan of the resolved table is needed for ts bounds
+    (a url's triples all inherit its single warc_ts; duplicate
+    url rows, if any, fold in the final min/max).
 
-    Shuffle order matters at 2× the triple count: the timestamp is a
-    URL-LEVEL constant (one crawl ts per page), so the exploded
+    Shuffle order matters at 2× the triple count: the exploded
     mention stream reduces to DISTINCT (url, entity, extractor) rows
     first — the heavy shuffle carries three dictionary-friendly
     columns, no timestamps, no collected sets, and never the 70-char
-    page-sha key. The per-url ts bounds and the (url → page_key) map
-    then join onto the distinct pairs WITHOUT a broadcast hint: both
-    are O(corpus) relations (one row per url), so forcing a broadcast
-    would serialize an unbounded table through the driver at 10^12
-    docs — AQE picks broadcast only while they measure small. ONE
-    final agg per (page, entity) computes exact evidence (distinct
-    extractors; min/max ts across duplicate-html urls sharing a
-    page_key)."""
+    page-sha key. The (url → page_key, ts) map then joins onto the
+    distinct pairs WITHOUT a broadcast hint: it is an O(corpus)
+    relation (one row per url), so forcing a broadcast would
+    serialize an unbounded table through the driver at 10^12 docs —
+    AQE picks broadcast only while it measures small. Evidence is a
+    two-phase distinct-witness count (group by (page, entity,
+    extractor) then count the witness groups) so EVERY exchange is
+    map-side combinable — the single-countDistinct plan would carry
+    an extra exchange over the joined stream."""
     pairs = (resolved
              .select("url", "extractor",
                      F.explode(F.array("subj_key", "obj_key"))
                      .alias("obj_key"))
              .dropDuplicates(["url", "obj_key", "extractor"]))
-    url_meta = (resolved.groupBy("url")
-                .agg(F.min("warc_ts").alias("_ts_min"),
-                     F.max("warc_ts").alias("_ts_max")))
-    return (pairs
-            .join(page_keys, on="url")
-            .join(url_meta, on="url")
+    witnesses = (pairs
+                 .join(page_keys, on="url")
+                 .groupBy("page_key", "obj_key", "extractor")
+                 .agg(F.min("warc_ts").alias("_ts_min"),
+                      F.max("warc_ts").alias("_ts_max")))
+    return (witnesses
             .groupBy(F.col("page_key").alias("subj_key"),
                      F.col("obj_key"))
-            .agg(F.countDistinct("extractor").alias("n_evidence"),
+            .agg(F.count("*").alias("n_evidence"),
                  F.min("_ts_min").alias("first_seen"),
                  F.max("_ts_max").alias("last_seen"))
             .select(F.xxhash64("subj_key").alias("src_id"),

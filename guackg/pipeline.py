@@ -22,15 +22,16 @@ from guackg import io as gio
 from guackg.cc import connected_components
 from guackg.extract import extract, valid_col
 from guackg.lineage import Lineage
-from guackg.link import (distinct_mentions, equivalence_edges_from_links,
-                         identifier_candidates, link_mentions)
+from guackg.link import (equivalence_edges_from_links,
+                         identifier_candidates, link_mentions,
+                         mention_frequencies)
 from guackg.materialize import (build_edges, build_nodes,
                                 page_mention_edges, page_node_rows,
                                 resolve_triples)
 from guackg.triples import EXTRACTOR_VERSION, extract_triples
 
 STAGES = ("extract", "triples", "link", "canonicalize", "materialize")
-PIPELINE_VERSION = "0.4"  # bump invalidates lineage of older layouts
+PIPELINE_VERSION = "0.5"  # bump invalidates lineage of older layouts
 
 
 def _fingerprint(*parts: object) -> str:
@@ -104,7 +105,8 @@ class KGPipeline:
             # (url → page document identity), reused by the page graph
             # below — a 2-column read of the extract table, NOT a
             # second scan of the raw blobs
-            out["page_identity"] = full.select("url", "page_sha256")
+            out["page_identity"] = full.select("url", "warc_ts",
+                                               "page_sha256")
         else:
             return out
 
@@ -132,8 +134,17 @@ class KGPipeline:
             return out
 
         if "link" in stages:
+            # ONE pass over the O(mentions) stream: the frequency
+            # table feeds both the linker (distinct vocabulary) and
+            # the identifier side-channel (counts) — previously each
+            # consumer re-scanned and re-aggregated the exploded
+            # surface stream (2× the triple count) independently.
+            out["mention_freq"] = self._run_stage(
+                "mention_freq", _fingerprint(fp_base, "mention_freq"),
+                lambda: mention_frequencies(out["triples"]))
+
             def _link():
-                mentions = distinct_mentions(out["triples"])
+                mentions = out["mention_freq"].select("norm")
                 links, _ = link_mentions(mentions, alias_dict)
                 return links
             out["links"] = self._run_stage(
@@ -154,7 +165,8 @@ class KGPipeline:
             out["identifier_candidates"] = self._run_stage(
                 "identifier_candidates",
                 _fingerprint(fp_base, "identifier_candidates"),
-                lambda: identifier_candidates(out["links"], out["triples"]))
+                lambda: identifier_candidates(out["links"],
+                                              freq=out["mention_freq"]))
         else:
             return out
 
@@ -185,8 +197,8 @@ class KGPipeline:
             page_keys = None
             if include_page_graph:
                 page_keys = out["page_identity"].select(
-                    "url", F.concat(F.lit("page:"),
-                                    F.col("page_sha256"))
+                    "url", "warc_ts",
+                    F.concat(F.lit("page:"), F.col("page_sha256"))
                     .alias("page_key"))
             # Redelivery dedup for the graph sink: if THIS exact batch
             # (same fp_base, same page-graph flag) already merged, skip
@@ -248,10 +260,19 @@ class KGPipeline:
             n_buckets = int(os.environ.get("GUACKG_EDGE_BUCKETS", "32"))
             edges = edges.withColumn(
                 "bucket", F.pmod(F.xxhash64("subj_key"), F.lit(n_buckets)))
+            # write fanout sized to the cluster: the dominant
+            # 'mentions' pred spans only n_buckets partition tuples,
+            # so with one task per tuple the parquet encode runs on at
+            # most n_buckets cores and tuple-hash collisions stack two
+            # jumbo tuples on one task (measured 1.5× write scaling
+            # 1→4 executors). Salting to ~cores chunks per jumbo dir
+            # restores encode parallelism; capped so file counts stay
+            # near the row-group sweet spot.
+            fanout = max(1, min(8, self.spark.sparkContext.defaultParallelism))
             gio.merge_upsert(self.spark, edges, self._out("edges"),
                              keys=["subj_key", "pred", "obj_key"],
                              partition_by=["pred", "bucket"],
-                             assume_unique=True)
+                             assume_unique=True, fanout=fanout)
             self.stage_secs["edges_merge"] = round(time.time() - t0, 2)
             out["nodes"] = gio.read_table(self.spark, self._out("nodes"))
             out["edges"] = gio.read_table(self.spark, self._out("edges"))

@@ -107,3 +107,35 @@ def test_single_level_merge_still_prunes(spark, tmp_path):
             continue
         assert after[d] == before[d]
     assert spark.read.parquet(table).count() == 60
+
+
+def test_fanout_preserves_pruning_and_rows(spark, tmp_path):
+    """fanout>1 (multi-file dirs for write parallelism) must not
+    change merge semantics: same rows, same pruning — untouched
+    (pred, bucket) leaf dirs stay byte-identical across a delta."""
+    table = str(tmp_path / "edges_fanout")
+    rows = [(f"k{i}", ["alpha", "beta"][i % 2], i) for i in range(200)]
+    df = _bucketed(spark.createDataFrame(rows, "k string, pred string, v int"))
+    gio.merge_upsert(spark, df, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"], fanout=4)
+    got = sorted((r.k, r.pred, r.v) for r in
+                 spark.read.parquet(table).collect())
+    assert got == sorted((r.k, r.pred, r.v) for r in df.collect())
+    before = _snapshot(table)
+
+    delta = _bucketed(spark.createDataFrame(
+        [("k3", "beta", 999)], "k string, pred string, v int"))
+    (tb,) = [r.bucket for r in delta.collect()]
+    gio.merge_upsert(spark, delta, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"], fanout=4)
+    after = _snapshot(table)
+    touched = os.path.join("pred=beta", f"bucket={tb}")
+    for d in before:
+        if d == touched or touched.startswith(d + os.sep) \
+                or d.startswith(touched):
+            continue
+        assert after[d] == before[d], f"untouched dir {d} was rewritten"
+    got = spark.read.parquet(table)
+    assert got.count() == 200
+    assert got.filter((F.col("k") == "k3") & (F.col("pred") == "beta")) \
+        .select("v").collect() == [(999,)]
