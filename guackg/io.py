@@ -40,13 +40,24 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, path: str,
-                partition_by: list[str] | None = None) -> None:
-    """Deterministic overwrite with atomic swap."""
+                partition_by: list[str] | None = None,
+                commit_gate=None) -> None:
+    """Deterministic overwrite with atomic swap.
+
+    `commit_gate` (a threading.Event, optional) implements
+    parallel-compute / ordered-commit: the write job runs immediately,
+    but the atomic swap that makes the table VISIBLE waits for the
+    gate. The pipeline uses it to keep the assembler's nodes-before-
+    edges visibility order (bulk.go:29-191) while both merges compute
+    concurrently — a reader never observes edges whose endpoints'
+    node table hasn't committed yet."""
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
+    if commit_gate is not None:
+        commit_gate.wait()
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
@@ -56,7 +67,8 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
                  keys: list[str],
                  partition_by: list[str] | None = None,
                  assume_unique: bool = False,
-                 fanout: int = 1) -> None:
+                 fanout: int = 1,
+                 commit_gate=None) -> None:
     """Keyed upsert: incoming rows replace existing rows with the same
     key (guac's find-or-create trie upsert, pkg.go:344-434; on Iceberg
     this whole function is one `MERGE INTO target USING df ON keys
@@ -113,13 +125,13 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     if multi:
         new = _spread(new)
     if not table_exists(path):
-        write_table(new, path, partition_by)
+        write_table(new, path, partition_by, commit_gate=commit_gate)
         return
     old = read_table(spark, path)
     if not partition_by:
         merged = old.join(new.select(keys).distinct(), on=keys,
                           how="left_anti").unionByName(new)
-        write_table(merged, path, partition_by)
+        write_table(merged, path, partition_by, commit_gate=commit_gate)
         return
 
     # partition-pruned merge: only partition TUPLES containing new
@@ -148,6 +160,8 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
 
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    if commit_gate is not None:
+        commit_gate.wait()
     # swap ONLY the affected partition subdirs into place (per-dir
     # atomic rename — the parquet analog of Iceberg's partition-level
     # snapshot commit), walking the partition tree to the leaf level

@@ -147,7 +147,8 @@ def build_edges(resolved: DataFrame) -> DataFrame:
 
 
 def page_mention_edges(resolved: DataFrame,
-                       page_keys: DataFrame) -> DataFrame:
+                       page_keys: DataFrame,
+                       broadcast_page_map: bool = False) -> DataFrame:
     """AGGREGATED page→entity `mentions` edges in the build_edges
     output shape — the HasSBOM page-digest link (T9/T10,
     parser/common/helpers.go:110-123: the document node points at
@@ -166,26 +167,41 @@ def page_mention_edges(resolved: DataFrame,
     (a url's triples all inherit its single warc_ts; duplicate
     url rows, if any, fold in the final min/max).
 
-    Shuffle order matters at 2× the triple count: the exploded
-    mention stream reduces to DISTINCT (url, entity, extractor) rows
-    first — the heavy shuffle carries three dictionary-friendly
-    columns, no timestamps, no collected sets, and never the 70-char
-    page-sha key. The (url → page_key, ts) map then joins onto the
-    distinct pairs WITHOUT a broadcast hint: it is an O(corpus)
-    relation (one row per url), so forcing a broadcast would
-    serialize an unbounded table through the driver at 10^12 docs —
-    AQE picks broadcast only while it measures small. Evidence is a
-    two-phase distinct-witness count (group by (page, entity,
-    extractor) then count the witness groups) so EVERY exchange is
-    map-side combinable — the single-countDistinct plan would carry
-    an extra exchange over the joined stream."""
+    ONE heavy exchange total. The exploded mention stream joins the
+    (url → page_key, ts) map FIRST, then aggregates straight to
+    (page, entity, extractor). A url-level dropDuplicates before the
+    join is deliberately ABSENT: the groupBy's map-side partial
+    aggregation collapses exactly the same duplicate sightings the
+    dedup would, without paying a second 2×|triples| shuffle
+    (measured: the dedup-then-join plan cost ~3.5× more wall on this
+    stage). Evidence stays a two-phase distinct-witness count (group
+    by (page, entity, extractor), then count the witness groups) so
+    every exchange is map-side combinable.
+
+    `broadcast_page_map` contract: the page map is an O(corpus)
+    relation, so the BROADCAST decision must come from REAL
+    statistics, not Catalyst's plan-time estimate — measured failure:
+    a project+explode over dictionary-compressed parquet estimates at
+    ~2 bytes/row, so with any raised auto-broadcast threshold the
+    planner broadcasts the 10×-larger MENTION stream through the
+    driver. The pipeline passes True only when the extract lineage's
+    exact row count bounds the map under the broadcast budget
+    (pipeline.py); False PINS a shuffle join with a merge hint —
+    correct at 10^12 docs where the map measures in TBs, and free in
+    between (with the real map >10 MB, AQE would never have converted
+    to broadcast anyway). The hint exists because leaving the planner
+    free is actively unsafe here: the ~2 B/row estimate puts the
+    mention stream under ANY threshold at small-to-mid corpus sizes,
+    and the planner then builds a multi-GB hash relation on the
+    driver."""
     pairs = (resolved
              .select("url", "extractor",
                      F.explode(F.array("subj_key", "obj_key"))
-                     .alias("obj_key"))
-             .dropDuplicates(["url", "obj_key", "extractor"]))
+                     .alias("obj_key")))
+    pmap = (F.broadcast(page_keys) if broadcast_page_map
+            else page_keys.hint("merge"))
     witnesses = (pairs
-                 .join(page_keys, on="url")
+                 .join(pmap, on="url")
                  .groupBy("page_key", "obj_key", "extractor")
                  .agg(F.min("warc_ts").alias("_ts_min"),
                       F.max("warc_ts").alias("_ts_max")))

@@ -13,6 +13,7 @@ resume semantics.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +81,48 @@ class KGPipeline:
         input_fingerprint: str = "",
         include_page_graph: bool = True,
     ) -> dict[str, DataFrame]:
+        """Stages whose outputs nothing downstream consumes (tombstones,
+        identifier_candidates, the nodes merge) run on CONCURRENT Spark
+        job threads: their tasks fill the cores the main chain leaves
+        idle at shuffle barriers and during driver-side commits. Work
+        is conserved — on one core the wall clock is unchanged; on a
+        real cluster the side stages' seconds disappear entirely. The
+        only ordering the reference requires — nodes commit before
+        edges commit (bulk.go:29-191) — is kept via the sink's
+        commit_gate (compute in parallel, commit in order)."""
+        self._threads: list[threading.Thread] = []
+        self._errors: list[BaseException] = []
+        try:
+            return self._run(pages, alias_dict, assertions, stages,
+                             input_fingerprint, include_page_graph)
+        finally:
+            for t in self._threads:
+                t.join()
+            if self._errors:
+                raise self._errors[0]
+
+    def _spawn(self, fn) -> None:
+        if os.environ.get("GUACKG_SYNC_STAGES") == "1":
+            fn()          # debug/diagnosis: run side stages inline
+            return
+        def _worker():
+            try:
+                fn()
+            except BaseException as e:  # propagated by run()'s finally
+                self._errors.append(e)
+        t = threading.Thread(target=_worker, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def _run(
+        self,
+        pages: DataFrame,
+        alias_dict: DataFrame,
+        assertions: DataFrame | None,
+        stages: tuple[str, ...],
+        input_fingerprint: str,
+        include_page_graph: bool,
+    ) -> dict[str, DataFrame]:
         fp_base = _fingerprint(PIPELINE_VERSION, EXTRACTOR_VERSION,
                                input_fingerprint)
         out: dict[str, DataFrame] = {}
@@ -127,9 +170,12 @@ class KGPipeline:
                               on="url", how="left_anti")
                         .withColumn("extractor", F.lit(EXTRACTOR_VERSION))
                         .withColumn("reason", F.lit("no_mentions")))
-            out["tombstones"] = self._run_stage(
-                "tombstones", _fingerprint(fp_base, "tombstones"),
-                _tombstones)
+            # no downstream stage consumes tombstones → side thread
+            self._spawn(lambda: out.__setitem__(
+                "tombstones",
+                self._run_stage("tombstones",
+                                _fingerprint(fp_base, "tombstones"),
+                                _tombstones)))
         else:
             return out
 
@@ -162,11 +208,14 @@ class KGPipeline:
             # S9/T12 identifier side-channel: unresolved surfaces +
             # mention counts, posted for later dictionary enrichment
             # (the collectsub feedback loop, ingestor.go:168-180)
-            out["identifier_candidates"] = self._run_stage(
+            # feedback side-channel only — nothing downstream reads it
+            self._spawn(lambda: out.__setitem__(
                 "identifier_candidates",
-                _fingerprint(fp_base, "identifier_candidates"),
-                lambda: identifier_candidates(out["links"],
-                                              freq=out["mention_freq"]))
+                self._run_stage(
+                    "identifier_candidates",
+                    _fingerprint(fp_base, "identifier_candidates"),
+                    lambda: identifier_candidates(
+                        out["links"], freq=out["mention_freq"]))))
         else:
             return out
 
@@ -217,23 +266,48 @@ class KGPipeline:
                 out["edges"] = gio.read_table(self.spark,
                                               self._out("edges"))
                 return out
-            # nodes before edges — the assembler's fixed write order
-            # (bulk.go:29-191)
-            t0 = time.time()
-            nodes = build_nodes(out["triples_resolved"], out["components"])
-            if page_keys is not None:
-                nodes = nodes.unionByName(page_node_rows(page_keys))
-            # assume_unique: build_nodes dedups on canonical_key and the
-            # page: namespace is disjoint from every entity namespace
-            gio.merge_upsert(self.spark, nodes, self._out("nodes"),
-                             keys=["canonical_key"], partition_by=["kind"],
-                             assume_unique=True)
-            self.stage_secs["nodes_merge"] = round(time.time() - t0, 2)
+            # nodes COMMIT before edges COMMIT — the assembler's fixed
+            # write order (bulk.go:29-191) — but the two merges COMPUTE
+            # concurrently: the nodes job runs on a side thread and the
+            # edge sink's commit_gate holds the edges swap until the
+            # nodes table is visible.
+            nodes_gate = threading.Event()
+
+            def _nodes_merge():
+                t0 = time.time()
+                try:
+                    nodes = build_nodes(out["triples_resolved"],
+                                        out["components"])
+                    if page_keys is not None:
+                        nodes = nodes.unionByName(page_node_rows(page_keys))
+                    # assume_unique: build_nodes dedups on canonical_key
+                    # and the page: namespace is disjoint from every
+                    # entity namespace
+                    gio.merge_upsert(self.spark, nodes, self._out("nodes"),
+                                     keys=["canonical_key"],
+                                     partition_by=["kind"],
+                                     assume_unique=True)
+                    self.stage_secs["nodes_merge"] = round(time.time() - t0, 2)
+                finally:
+                    # set even on failure so the edges thread can't hang;
+                    # the failure itself propagates via run()'s finally
+                    nodes_gate.set()
+
+            self._spawn(_nodes_merge)
             t0 = time.time()
             edges = build_edges(out["triples_resolved"])
             if page_keys is not None:
+                # broadcast the url→page map only when the EXACT row
+                # count from the extract stage's lineage bounds it
+                # under the broadcast budget (~150 B/row of url + ts +
+                # 'page:'+sha key). Real stats, not Catalyst's
+                # estimate — see page_mention_edges' contract.
+                ext_rec = self.lineage.read("extract")
+                bcast_map = bool(ext_rec) and \
+                    ext_rec["total_rows"] * 150 <= 64 * 1024 * 1024
                 edges = edges.unionByName(
-                    page_mention_edges(out["triples_resolved"], page_keys))
+                    page_mention_edges(out["triples_resolved"], page_keys,
+                                       broadcast_page_map=bcast_map))
             if os.environ.get("GUACKG_STAGE_PROBE") == "1":
                 # diagnostic split (probe-only): force the edge BUILD
                 # (aggs + joins) separately from the merge/write so
@@ -272,8 +346,11 @@ class KGPipeline:
             gio.merge_upsert(self.spark, edges, self._out("edges"),
                              keys=["subj_key", "pred", "obj_key"],
                              partition_by=["pred", "bucket"],
-                             assume_unique=True, fanout=fanout)
+                             assume_unique=True, fanout=fanout,
+                             commit_gate=nodes_gate)
             self.stage_secs["edges_merge"] = round(time.time() - t0, 2)
+            if self._errors:          # nodes merge failed → fail the run
+                raise self._errors[0]
             out["nodes"] = gio.read_table(self.spark, self._out("nodes"))
             out["edges"] = gio.read_table(self.spark, self._out("edges"))
             self.lineage.record("graph_merge", merge_fp, out["edges"],

@@ -35,6 +35,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The broadcast threshold stays at Spark's conservative 10 MB
+        # default. Measured dead end: raising it to 64 MB made the
+        # planner broadcast the 2×|triples| exploded mention stream in
+        # the page-graph join — Catalyst's size estimate for a
+        # project+explode over a dictionary-compressed parquet scan
+        # was ~2 bytes/row (3.6 MB for 1.9M rows), so the WRONG side
+        # cleared the raised bar and 18.8M rows funneled through the
+        # driver. Joins that genuinely want a broadcast carry an
+        # explicit, real-statistics-driven hint instead
+        # (pipeline.py page-map decision from lineage row counts).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ~10-50 KB blob rows: 256-row batches keep Arrow buffers well
         # under the G1 humongous-object threshold (4096-row batches of
@@ -63,6 +73,14 @@ def get_spark(
                 "2")
         .config("spark.ui.enabled", "false")
     )
+    # observability probe: GUACKG_EVENT_LOG=<dir> writes the standard
+    # Spark event log (per-stage/task timings) for offline analysis —
+    # the same file a cluster's history server ingests
+    ev_dir = os.environ.get("GUACKG_EVENT_LOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", ev_dir))
     if master.startswith("local"):
         # local / local-cluster hygiene: shuffle/spill on the RAM disk
         # (ext4 journal churn from 32 concurrent shuffle writers shows
@@ -87,6 +105,15 @@ def get_spark(
             # in every executor, not just the driver.
             if local_dir:
                 os.environ.setdefault("SPARK_LOCAL_DIRS", local_dir)
+            # Executor JVM thread pools: measured dead end — pinning
+            # each executor to its container view via
+            # -XX:ActiveProcessorCount=<cores> (the YARN/k8s cgroup
+            # analog) with GC threads scaled down made the 4-executor
+            # leg 25% SLOWER (edges stage 135 s → 205 s): whole-stage
+            # codegen compiles per executor per stage, and one C2
+            # compiler thread + 2 GC threads per 8 GB heap starve
+            # exactly the codegen-heavy aggregation stages. The capped
+            # 8/2 GC pool below is the measured sweet spot.
             builder = (builder
                        .config("spark.executor.memory",
                                os.environ.get("GUACKG_EXECUTOR_MEM", "8g"))
