@@ -68,6 +68,7 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
                  partition_by: list[str] | None = None,
                  assume_unique: bool = False,
                  fanout: int = 1,
+                 pre_distributed: bool = False,
                  commit_gate=None) -> None:
     """Keyed upsert: incoming rows replace existing rows with the same
     key (guac's find-or-create trie upsert, pkg.go:344-434; on Iceberg
@@ -99,6 +100,15 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     a union of keyed aggregates over disjoint key namespaces). The
     flag removes a full-frame shuffle from the sink.
 
+    `pre_distributed=True` asserts the caller ALREADY hash-distributed
+    `df` on the partition tuple (e.g. a write-aligned aggregation that
+    grouped under (pred, bucket) — materialize.build_edges), so the
+    sink's own spread repartition is skipped on the first write: the
+    rows flow from the aggregation straight into the partitioned
+    encode with zero extra exchange. The MERGE path still respreads
+    the old∪new union (the old rows arrive with file layout, not
+    shuffle layout).
+
     `fanout` = parallel write tasks (⇒ files) per partition dir. At
     fanout=1 the pre-write repartition hashes on the partition tuple
     alone — one file per dir, but a dir can then never be encoded by
@@ -122,7 +132,7 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
                                 F.lit(fanout)))
         return frame.repartition(*parts)
 
-    if multi:
+    if multi and not pre_distributed:
         new = _spread(new)
     if not table_exists(path):
         write_table(new, path, partition_by, commit_gate=commit_gate)

@@ -214,6 +214,81 @@ def link_mentions(
     return links, equivalence_edges_from_links(links)
 
 
+# Below these bounds the vocabulary and dictionary are collected and
+# linked on the driver — the same adaptive small-side rule as cc.py's
+# driver union-find and Spark's own broadcast threshold: a vocabulary
+# that fits in one pandas frame costs one collect + an inverted-index
+# scan instead of ~10 tiny distributed stages whose barriers dominate
+# (measured: the distributed link stage spends ~6-8 s on a 2.3k-norm
+# vocabulary, nearly all of it scheduling/broadcast floors). The
+# distributed LSH path above remains the scale path: mention
+# vocabularies grow with the corpus and blow these bounds long before
+# 10^12 documents.
+DRIVER_LINK_MAX_VOCAB = 50_000
+DRIVER_LINK_MAX_DICT = 50_000
+
+
+def link_mentions_driver(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-side small-vocabulary linker. Same contract as
+    `link_mentions` — (norm) × (surface, canonical_key) → links with
+    method ∈ {dict, lsh, fallback} — with IDENTICAL normalization,
+    shingling (k=3 over '^'+norm+'$', distinct), Jaccard threshold
+    and (max jaccard, min dnorm) tie-break. The fuzzy tier scores
+    EXACT Jaccard over an inverted shingle index, so its recall is ≥
+    the banded path's (banding can only miss candidate pairs; fuzzy
+    rows keep the method label 'lsh' because downstream match-rank
+    semantics key on the tier, not the algorithm). Caller guarantees
+    both inputs fit the DRIVER_LINK_MAX_* bounds."""
+    from collections import defaultdict
+
+    spark = mentions.sparkSession
+    m = [r["norm"] for r in mentions.select("norm").collect()]
+    d_rows = alias_dict.select(F.col("surface").alias("dnorm"),
+                               "canonical_key").collect()
+    dict_map: dict[str, str] = {}
+    for r in d_rows:
+        dict_map.setdefault(r["dnorm"], r["canonical_key"])
+
+    def shingles(s: str) -> set:
+        p = "^" + s + "$"
+        n = len(p) - SHINGLE_K + 1
+        return {p[i:i + SHINGLE_K] for i in range(max(n, 0))}
+
+    dnorms = sorted(dict_map)          # sorted ⇒ index order = tie order
+    dsh = [shingles(x) for x in dnorms]
+    inv: dict[str, list[int]] = defaultdict(list)
+    for i, ds in enumerate(dsh):
+        for g in ds:
+            inv[g].append(i)
+
+    rows = []
+    for norm in m:
+        ck = dict_map.get(norm)
+        if ck is not None:
+            rows.append((norm, ck, "dict"))
+            continue
+        s = shingles(norm)
+        counts: dict[int, int] = defaultdict(int)
+        for g in s:
+            for i in inv.get(g, ()):
+                counts[i] += 1
+        best_j, best_i = -1.0, -1
+        for i, c in counts.items():
+            j = c / (len(s) + len(dsh[i]) - c)
+            if j > best_j or (j == best_j and i < best_i):
+                best_j, best_i = j, i
+        if best_j >= JACCARD_THRESHOLD:
+            rows.append((norm, dict_map[dnorms[best_i]], "lsh"))
+        else:
+            rows.append((norm, "ent:guac/" + norm, "fallback"))
+    links = spark.createDataFrame(
+        rows, "norm string, canonical_key string, method string")
+    return links, equivalence_edges_from_links(links)
+
+
 def equivalence_edges_from_links(links: DataFrame) -> DataFrame:
     """Equivalence edges are a pure projection of the links table —
     callers that materialize links should derive the edges from the

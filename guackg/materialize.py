@@ -116,7 +116,8 @@ def build_nodes(resolved: DataFrame, components: DataFrame) -> DataFrame:
     )
 
 
-def build_edges(resolved: DataFrame) -> DataFrame:
+def build_edges(resolved: DataFrame,
+                n_buckets: int | None = None) -> DataFrame:
     """Edge table with evidence rollup. Evidence identity is the full
     property tuple (guac's exact-tuple duplicate rule,
     isDependency.go:109-149): n_evidence counts DISTINCT
@@ -125,14 +126,36 @@ def build_edges(resolved: DataFrame) -> DataFrame:
     which keeps an arbitrary row's timestamp per duplicate tuple).
     `match_level` keeps the STRONGEST evidence level seen for the
     edge (C11: an edge proven by a dictionary match stays 'exact'
-    even if a fuzzy sighting also exists)."""
+    even if a fuzzy sighting also exists).
+
+    `n_buckets` (optional) makes the aggregation WRITE-ALIGNED: the
+    edges table partitions on (pred, bucket=pmod(xxhash64(subj_key),
+    B)), and since that tuple is a function of the grouping keys, the
+    stream can be hash-distributed on it ONCE up front — both phases
+    of the distinct aggregation then reuse that exchange (Catalyst's
+    ClusteredDistribution subset rule: HashPartitioning(pred, bucket)
+    clusters every (subj, pred, obj[, url, extractor]) group), the
+    output lands already laid out for the partitioned sink, and no
+    further repartition is needed before the write. One shuffle total
+    instead of three (two agg exchanges + the sink spread). The
+    output then carries the `bucket` column. Without n_buckets the
+    plain (s, p, o)-hashed plan is kept (oracle queries)."""
     src = resolved
     if "match_level" not in src.columns:
         src = src.withColumn("match_level", F.lit("exact"))
     rank = F.when(F.col("match_level") == "exact", 2) \
         .when(F.col("match_level") == "fuzzy", 1).otherwise(0)
-    return (src.withColumn("_rank", rank)
-            .groupBy("subj_key", "pred", "obj_key")
+    src = src.withColumn("_rank", rank)
+    group = ["subj_key", "pred", "obj_key"]
+    extra = []
+    if n_buckets is not None:
+        src = src.withColumn(
+            "bucket", F.pmod(F.xxhash64("subj_key"), F.lit(n_buckets))) \
+            .repartition("pred", "bucket")
+        group.append("bucket")
+        extra = ["bucket"]
+    return (src
+            .groupBy(*group)
             .agg(F.countDistinct("url", "extractor").alias("n_evidence"),
                  F.min("warc_ts").alias("first_seen"),
                  F.max("warc_ts").alias("last_seen"),
@@ -143,12 +166,13 @@ def build_edges(resolved: DataFrame) -> DataFrame:
                     "n_evidence", "first_seen", "last_seen",
                     match_level_col(F.col("_best_rank"))
                     .alias("match_level"),
-                    "subj_key", "obj_key"))
+                    "subj_key", "obj_key", *extra))
 
 
 def page_mention_edges(resolved: DataFrame,
                        page_keys: DataFrame,
-                       broadcast_page_map: bool = False) -> DataFrame:
+                       broadcast_page_map: bool = False,
+                       n_buckets: int | None = None) -> DataFrame:
     """AGGREGATED page→entity `mentions` edges in the build_edges
     output shape — the HasSBOM page-digest link (T9/T10,
     parser/common/helpers.go:110-123: the document node points at
@@ -200,23 +224,38 @@ def page_mention_edges(resolved: DataFrame,
                      .alias("obj_key")))
     pmap = (F.broadcast(page_keys) if broadcast_page_map
             else page_keys.hint("merge"))
-    witnesses = (pairs
-                 .join(pmap, on="url")
-                 .groupBy("page_key", "obj_key", "extractor")
+    joined = pairs.join(pmap, on="url")
+    group1 = ["page_key", "obj_key", "extractor"]
+    group2 = ["page_key", "obj_key"]
+    extra = []
+    if n_buckets is not None:
+        # write-aligned distribution, same rule as build_edges: the
+        # sink partitions this branch under (pred='mentions',
+        # bucket=pmod(xxhash64(page_key), B)), so hash-distributing on
+        # the bucket once lets BOTH aggregation levels and the
+        # partitioned write reuse a single exchange.
+        joined = joined.withColumn(
+            "bucket", F.pmod(F.xxhash64("page_key"), F.lit(n_buckets))) \
+            .repartition("bucket")
+        group1.append("bucket")
+        group2.append("bucket")
+        extra = ["bucket"]
+    witnesses = (joined
+                 .groupBy(*group1)
                  .agg(F.min("warc_ts").alias("_ts_min"),
                       F.max("warc_ts").alias("_ts_max")))
     return (witnesses
-            .groupBy(F.col("page_key").alias("subj_key"),
-                     F.col("obj_key"))
+            .groupBy(*group2)
             .agg(F.count("*").alias("n_evidence"),
                  F.min("_ts_min").alias("first_seen"),
                  F.max("_ts_max").alias("last_seen"))
-            .select(F.xxhash64("subj_key").alias("src_id"),
+            .select(F.xxhash64("page_key").alias("src_id"),
                     F.lit("mentions").alias("pred"),
                     F.xxhash64("obj_key").alias("dst_id"),
                     "n_evidence", "first_seen", "last_seen",
                     F.lit("exact").alias("match_level"),
-                    "subj_key", "obj_key"))
+                    F.col("page_key").alias("subj_key"),
+                    "obj_key", *extra))
 
 
 def page_node_rows(page_keys: DataFrame) -> DataFrame:

@@ -23,9 +23,10 @@ from guackg import io as gio
 from guackg.cc import connected_components
 from guackg.extract import extract, valid_col
 from guackg.lineage import Lineage
-from guackg.link import (equivalence_edges_from_links,
+from guackg.link import (DRIVER_LINK_MAX_DICT, DRIVER_LINK_MAX_VOCAB,
+                         equivalence_edges_from_links,
                          identifier_candidates, link_mentions,
-                         mention_frequencies)
+                         link_mentions_driver, mention_frequencies)
 from guackg.materialize import (build_edges, build_nodes,
                                 page_mention_edges, page_node_rows,
                                 resolve_triples)
@@ -191,7 +192,20 @@ class KGPipeline:
 
             def _link():
                 mentions = out["mention_freq"].select("norm")
-                links, _ = link_mentions(mentions, alias_dict)
+                # adaptive small-side rule (cc.py's union-find analog):
+                # the EXACT vocabulary size is already in the
+                # mention_freq lineage record, so a bench-scale
+                # vocabulary links on the driver (exact Jaccard,
+                # identical contract) instead of paying ~10 tiny-stage
+                # barriers; a web-scale vocabulary blows the bound and
+                # takes the distributed LSH path.
+                rec = self.lineage.read("mention_freq")
+                small = bool(rec) and \
+                    rec["total_rows"] <= DRIVER_LINK_MAX_VOCAB and \
+                    alias_dict.limit(DRIVER_LINK_MAX_DICT + 1).count() \
+                    <= DRIVER_LINK_MAX_DICT
+                linker = link_mentions_driver if small else link_mentions
+                links, _ = linker(mentions, alias_dict)
                 return links
             out["links"] = self._run_stage(
                 "link", _fingerprint(fp_base, "link"), _link)
@@ -295,7 +309,20 @@ class KGPipeline:
 
             self._spawn(_nodes_merge)
             t0 = time.time()
-            edges = build_edges(out["triples_resolved"])
+            # Bucket COUNT is a deploy-time constant sized to keep
+            # bucket files near the parquet row-group sweet spot
+            # (~10^5-10^6 rows/bucket-per-pred): 32 default; a local
+            # bench corpus uses fewer, a 100-TB table thousands. It
+            # must stay FIXED for a table's lifetime — changing it
+            # moves keys across partition dirs and breaks the
+            # merge_upsert pruning contract (io.py docstring).
+            n_buckets = int(os.environ.get("GUACKG_EDGE_BUCKETS", "32"))
+            # write-aligned build: both edge branches hash-distribute
+            # on their (pred, bucket) sink tuple up front, so the
+            # distinct aggregations AND the partitioned write all ride
+            # ONE exchange per branch (see build_edges docstring)
+            edges = build_edges(out["triples_resolved"],
+                                n_buckets=n_buckets)
             if page_keys is not None:
                 # broadcast the url→page map only when the EXACT row
                 # count from the extract stage's lineage bounds it
@@ -307,7 +334,8 @@ class KGPipeline:
                     ext_rec["total_rows"] * 150 <= 64 * 1024 * 1024
                 edges = edges.unionByName(
                     page_mention_edges(out["triples_resolved"], page_keys,
-                                       broadcast_page_map=bcast_map))
+                                       broadcast_page_map=bcast_map,
+                                       n_buckets=n_buckets))
             if os.environ.get("GUACKG_STAGE_PROBE") == "1":
                 # diagnostic split (probe-only): force the edge BUILD
                 # (aggs + joins) separately from the merge/write so
@@ -324,29 +352,17 @@ class KGPipeline:
             # increment — the subj_key hash bucket (key-derived, so a
             # key never moves partitions) prunes rewrites to the
             # buckets the delta actually touches (round-2 finding #3).
-            # Bucket COUNT is a deploy-time constant sized to keep
-            # bucket files near the parquet row-group sweet spot
-            # (~10^5-10^6 rows/bucket-per-pred): 32 default; a local
-            # bench corpus uses fewer, a 100-TB table thousands. It
-            # must stay FIXED for a table's lifetime — changing it
-            # moves keys across partition dirs and breaks the
-            # merge_upsert pruning contract (io.py docstring).
-            n_buckets = int(os.environ.get("GUACKG_EDGE_BUCKETS", "32"))
-            edges = edges.withColumn(
-                "bucket", F.pmod(F.xxhash64("subj_key"), F.lit(n_buckets)))
-            # write fanout sized to the cluster: the dominant
-            # 'mentions' pred spans only n_buckets partition tuples,
-            # so with one task per tuple the parquet encode runs on at
-            # most n_buckets cores and tuple-hash collisions stack two
-            # jumbo tuples on one task (measured 1.5× write scaling
-            # 1→4 executors). Salting to ~cores chunks per jumbo dir
-            # restores encode parallelism; capped so file counts stay
-            # near the row-group sweet spot.
+            # pre_distributed: the write-aligned build above already
+            # hash-distributed each branch on its partition tuple, so
+            # the first write encodes straight out of the aggregation
+            # (no sink spread). Incremental merges still respread the
+            # old∪new union; fanout salts their jumbo-dir encodes.
             fanout = max(1, min(8, self.spark.sparkContext.defaultParallelism))
             gio.merge_upsert(self.spark, edges, self._out("edges"),
                              keys=["subj_key", "pred", "obj_key"],
                              partition_by=["pred", "bucket"],
                              assume_unique=True, fanout=fanout,
+                             pre_distributed=True,
                              commit_gate=nodes_gate)
             self.stage_secs["edges_merge"] = round(time.time() - t0, 2)
             if self._errors:          # nodes merge failed → fail the run

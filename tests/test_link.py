@@ -70,3 +70,43 @@ def test_no_python_in_link_plan(spark, alias_df):
     plan = links._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_driver_linker_matches_distributed(spark, alias_df):
+    """The adaptive driver fast path (link_mentions_driver) must agree
+    with the distributed LSH path on the full fixture vocabulary —
+    dict tier identical; fuzzy/fallback tiers may differ ONLY where
+    banding missed a true candidate (driver recall ≥ banded recall),
+    in which case the driver's pick must genuinely clear the Jaccard
+    threshold."""
+    from guackg.link import (JACCARD_THRESHOLD, SHINGLE_K,
+                             link_mentions_driver)
+    ctx = get_ctx()
+    norms = sorted({r["surface"] for r in ctx.alias_rows}
+                   | {normalize_surface(t["surface"])
+                      for t in ctx.typo_by_ent.values()}
+                   | {"zz unlinkable gibberish qqq"})
+    mentions = spark.createDataFrame(pd.DataFrame({"norm": norms}))
+    dist, _ = link_mentions(mentions, alias_df)
+    drv, _ = link_mentions_driver(mentions, alias_df)
+    d1 = {r.norm: (r.canonical_key, r.method) for r in dist.collect()}
+    d2 = {r.norm: (r.canonical_key, r.method) for r in drv.collect()}
+    assert set(d1) == set(d2)
+
+    def jaccard(a, b):
+        def sh(s):
+            p = "^" + s + "$"
+            return {p[i:i + SHINGLE_K]
+                    for i in range(max(len(p) - SHINGLE_K + 1, 0))}
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb)
+
+    surf_of = {r["canonical_key"]: r["surface"] for r in ctx.alias_rows}
+    for norm in d1:
+        if d1[norm] == d2[norm]:
+            continue
+        # divergence allowed only when the banded path missed a real
+        # candidate the exact scorer found
+        assert d1[norm][1] == "fallback" and d2[norm][1] == "lsh", \
+            (norm, d1[norm], d2[norm])
+        assert jaccard(norm, surf_of[d2[norm][0]]) >= JACCARD_THRESHOLD
