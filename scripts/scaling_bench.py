@@ -194,14 +194,19 @@ runs are shown.
 
 Amdahl decomposition: the corpus-proportional stages (extract,
 triples, materialize, edges — everything that grows with the data)
-dominate the wall clock and speed up ~3-3.5× for 4× cores in the
+dominate the wall clock and speed up ~3-4× for 4× cores in the
 best runs. Two residuals cap the measured ratio: (a) per-core
 throughput on this box degrades ~15-25% as active cores rise — the
 same effect measured with plain python multiprocessing on fixed
 work, i.e. host memory bandwidth, not the engine; (b) a
-near-constant coordination floor (the LSH linker's tiny-stage
-shuffle barriers, the CC driver round-trip, per-stage commit +
-lineage — ~10 s total) that is INDEPENDENT of corpus size. Because
+near-constant coordination floor (the linker/CC driver round-trips,
+per-stage commit + lineage — ~8 s total after the round-3 driver
+fast paths and stage overlap) that is INDEPENDENT of corpus size.
+Side stages nothing downstream consumes (tombstones, identifier
+side-channel, nodes merge) run on concurrent job threads, so their
+seconds overlap the main chain wherever spare cores exist — their
+per-stage "speedups" are wall-clock-under-contention, not isolated
+timings. Because
 the floor is corpus-independent, the scaling evidence runs at a
 corpus large enough to be compute-bound ({r0['pages']} pages — set
 via GUACKG_BENCH_PAGES; the floor's seconds are identical at any
