@@ -93,6 +93,7 @@ class KGPipeline:
         commit_gate (compute in parallel, commit in order)."""
         self._threads: list[threading.Thread] = []
         self._errors: list[BaseException] = []
+        self._async = self._side_stages_async()
         try:
             return self._run(pages, alias_dict, assertions, stages,
                              input_fingerprint, include_page_graph)
@@ -102,9 +103,25 @@ class KGPipeline:
             if self._errors:
                 raise self._errors[0]
 
+    def _side_stages_async(self) -> bool:
+        """Overlap policy, decided by executor topology. Multi-executor
+        deployments (local-cluster here; yarn/k8s/standalone on a real
+        cluster) leave cores idle at the main chain's shuffle barriers
+        and driver-side commits — side stages fill them (measured:
+        −30 s wall at 4×1-core executors). A single-JVM `local[n]`
+        master has no idle-core story: all task slots share one heap,
+        GC, and memory bus, and concurrent jobs add contention instead
+        of utilization (measured: +39 s wall at local[32] — tiny
+        JVM-side stages inflated 4-6× while time-sharing with the
+        heavy chain). GUACKG_SYNC_STAGES=1/0 forces either mode."""
+        env = os.environ.get("GUACKG_SYNC_STAGES")
+        if env in ("0", "1"):
+            return env == "0"
+        return not self.spark.sparkContext.master.startswith("local[")
+
     def _spawn(self, fn) -> None:
-        if os.environ.get("GUACKG_SYNC_STAGES") == "1":
-            fn()          # debug/diagnosis: run side stages inline
+        if not self._async:
+            fn()          # single-JVM master: run side stages inline
             return
         def _worker():
             try:
