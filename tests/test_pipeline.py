@@ -251,3 +251,25 @@ def test_no_per_row_python_in_hot_path(spark, pages_df, alias_df):
     plan = extract_triples(extract(pages_df)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_concurrent_side_stages_match_sync(spark, pages_df, alias_df,
+                                           assertions_df, pipeline_out,
+                                           monkeypatch, tmp_path):
+    """The topology-gated concurrency (side stages on Spark job threads
+    + nodes/edges ordered commit) must be a pure scheduling change: a
+    forced-async run on the local master produces byte-equal tables to
+    the module fixture's sync run. This is the only place the threaded
+    path executes under pytest — local[*] masters auto-select sync."""
+    monkeypatch.setenv("GUACKG_SYNC_STAGES", "0")  # force threads
+    pipe = KGPipeline(spark, str(tmp_path / "async"))
+    out2 = pipe.run(pages_df, alias_df, assertions_df,
+                    input_fingerprint="test-corpus")
+    _, out1 = pipeline_out
+    for name in ("triples_resolved", "tombstones", "identifier_candidates",
+                 "nodes", "edges"):
+        a, b = out1[name], out2[name]
+        cols = sorted(set(a.columns) & set(b.columns))
+        diff = (a.select(cols).exceptAll(b.select(cols)).count()
+                + b.select(cols).exceptAll(a.select(cols)).count())
+        assert diff == 0, f"{name}: {diff} differing rows async vs sync"
