@@ -172,7 +172,8 @@ def build_edges(resolved: DataFrame,
 def page_mention_edges(resolved: DataFrame,
                        page_keys: DataFrame,
                        broadcast_page_map: bool = False,
-                       n_buckets: int | None = None) -> DataFrame:
+                       n_buckets: int | None = None,
+                       agg_salt: int = 1) -> DataFrame:
     """AGGREGATED page→entity `mentions` edges in the build_edges
     output shape — the HasSBOM page-digest link (T9/T10,
     parser/common/helpers.go:110-123: the document node points at
@@ -233,10 +234,25 @@ def page_mention_edges(resolved: DataFrame,
         # sink partitions this branch under (pred='mentions',
         # bucket=pmod(xxhash64(page_key), B)), so hash-distributing on
         # the bucket once lets BOTH aggregation levels and the
-        # partitioned write reuse a single exchange.
+        # partitioned write reuse a single exchange. With fewer
+        # buckets than cores that one exchange would also CAP the
+        # branch at n_buckets tasks — `agg_salt` (deploy-sized to
+        # ~cores/buckets; 1 when buckets ≥ cores) widens it with a
+        # key-DETERMINISTIC salt on the object: salt = f(obj_key)
+        # rides in both grouping levels without splitting any
+        # (page, obj) group, so semantics are untouched and each
+        # bucket dir simply gets agg_salt parallel-encoded files (the
+        # Iceberg fanout-writer shape).
         joined = joined.withColumn(
-            "bucket", F.pmod(F.xxhash64("page_key"), F.lit(n_buckets))) \
-            .repartition("bucket")
+            "bucket", F.pmod(F.xxhash64("page_key"), F.lit(n_buckets)))
+        parts = ["bucket"]
+        if agg_salt > 1:
+            joined = joined.withColumn(
+                "_osalt", F.pmod(F.xxhash64("obj_key"), F.lit(agg_salt)))
+            parts.append("_osalt")
+            group1.append("_osalt")
+            group2.append("_osalt")
+        joined = joined.repartition(*parts)
         group1.append("bucket")
         group2.append("bucket")
         extra = ["bucket"]

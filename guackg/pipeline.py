@@ -349,10 +349,16 @@ class KGPipeline:
                 ext_rec = self.lineage.read("extract")
                 bcast_map = bool(ext_rec) and \
                     ext_rec["total_rows"] * 150 <= 64 * 1024 * 1024
+                # widen the mentions branch's single exchange when the
+                # cluster has more cores than the table has buckets
+                # (key-deterministic salt — see page_mention_edges)
+                cores = self.spark.sparkContext.defaultParallelism
+                salt = max(1, -(-cores // n_buckets))
                 edges = edges.unionByName(
                     page_mention_edges(out["triples_resolved"], page_keys,
                                        broadcast_page_map=bcast_map,
-                                       n_buckets=n_buckets))
+                                       n_buckets=n_buckets,
+                                       agg_salt=salt))
             if os.environ.get("GUACKG_STAGE_PROBE") == "1":
                 # diagnostic split (probe-only): force the edge BUILD
                 # (aggs + joins) separately from the merge/write so
