@@ -1,0 +1,88 @@
+"""The `guacone query ...` CLI analog (scripts/query_graph.py) driven
+in-process over a freshly built workdir — every query mode must return
+sane rows from the same tables the spark-submit surface reads."""
+
+import argparse
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from guackg.pipeline import KGPipeline
+
+
+@pytest.fixture(scope="module")
+def built_workdir(spark, pages_df, alias_df, assertions_df,
+                  tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("qcli"))
+    KGPipeline(spark, wd).run(pages_df, alias_df, assertions_df,
+                              input_fingerprint="qcli")
+    return wd
+
+
+def _args(**kw):
+    base = dict(workdir=None, query=None, start=None, dst=None,
+                preds="", direction="both", max_depth=4, kind=None,
+                key_prefix=None, skip_tombstoned=False, limit=50,
+                master=None)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_query_cli_modes(spark, built_workdir):
+    import query_graph as Q
+
+    # a well-connected start key: the highest-degree entity node
+    from guackg import io as gio
+    from pyspark.sql import functions as F
+    edges = gio.read_table(spark, os.path.join(built_workdir, "edges"))
+    start = (edges.filter(~F.col("subj_key").startswith("page:"))
+             .groupBy("subj_key").count()
+             .orderBy(F.desc("count"), "subj_key").first()["subj_key"])
+
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="neighbors", start=start))
+    assert total > 0 and {"neighbor_key", "pred", "direction"} <= set(rows[0])
+
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="reachable", start=start))
+    assert total > 0 and all(r["depth"] >= 0 for r in rows)
+
+    # tombstone-aware traversal must never report a tombstoned page
+    rows, _ = Q.run_query(
+        spark, _args(workdir=built_workdir, query="reachable",
+                     start=start, skip_tombstoned=True, limit=10_000))
+    skip_set = {r["key"] for r in
+                Q._tombstoned_page_keys(spark, built_workdir).collect()}
+    assert not ({r["key"] for r in rows} & skip_set)
+
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="blast", start=start))
+    assert total > 0 and {"key", "depth", "parent", "via_pred"} <= set(rows[0])
+
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="toposort"))
+    assert total > 0
+
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="find", kind="page"))
+    assert total > 0 and all(r["kind"] == "page" for r in rows)
+
+    # path between the start and one of its direct neighbors
+    nb, _ = Q.run_query(
+        spark, _args(workdir=built_workdir, query="neighbors",
+                     start=start, direction="out"))
+    dst = nb[0]["neighbor_key"]
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="path",
+                     start=start, dst=dst))
+    assert total >= 2 and rows[0]["key"] == start and rows[-1]["key"] == dst
+
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="path-edges",
+                     start=start, dst=dst))
+    assert total == 1 and rows[0]["subj_key"] == start \
+        and rows[0]["obj_key"] == dst and "match_level" in rows[0] \
+        and "subj_kind" in rows[0]
