@@ -33,11 +33,24 @@ from guackg.materialize import (build_edges, build_nodes,
 from guackg.triples import EXTRACTOR_VERSION, extract_triples
 
 STAGES = ("extract", "triples", "link", "canonicalize", "materialize")
-PIPELINE_VERSION = "0.5"  # bump invalidates lineage of older layouts
+PIPELINE_VERSION = "0.6"  # bump invalidates lineage of older layouts
 
 
 def _fingerprint(*parts: object) -> str:
     return "|".join(str(p) for p in parts)
+
+
+def _content_fp(df: DataFrame, cols: list[str]) -> str:
+    """Order-insensitive content fingerprint of a small side input
+    (row count + xxhash64 sum over the identity columns; decimal sum
+    dodges ANSI long overflow). The Iceberg analog is the side
+    table's snapshot id — callers that have one pass it instead via
+    `dict_version` and skip this one tiny job."""
+    row = df.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("h")).collect()[0]
+    return f"{row['n']}:{row['h']}"
 
 
 class KGPipeline:
@@ -81,6 +94,7 @@ class KGPipeline:
         stages: tuple[str, ...] = STAGES,
         input_fingerprint: str = "",
         include_page_graph: bool = True,
+        dict_version: str | None = None,
     ) -> dict[str, DataFrame]:
         """Stages whose outputs nothing downstream consumes (tombstones,
         identifier_candidates, the nodes merge) run on CONCURRENT Spark
@@ -96,7 +110,8 @@ class KGPipeline:
         self._async = self._side_stages_async()
         try:
             return self._run(pages, alias_dict, assertions, stages,
-                             input_fingerprint, include_page_graph)
+                             input_fingerprint, include_page_graph,
+                             dict_version)
         finally:
             for t in self._threads:
                 t.join()
@@ -140,9 +155,21 @@ class KGPipeline:
         stages: tuple[str, ...],
         input_fingerprint: str,
         include_page_graph: bool,
+        dict_version: str | None = None,
     ) -> dict[str, DataFrame]:
         fp_base = _fingerprint(PIPELINE_VERSION, EXTRACTOR_VERSION,
                                input_fingerprint)
+        # Side-input identity: the link stage (and everything
+        # downstream of it) is a function of the alias DICTIONARY and
+        # the equivalence ASSERTIONS too, not just the corpus — the
+        # §3.3 enrichment cycle re-runs the same corpus with a grown
+        # dictionary, and a fingerprint that ignored it would skip
+        # `link` and serve stale links. fp_base deliberately excludes
+        # them so extract/triples still resume across enrichment.
+        dict_fp = dict_version if dict_version is not None else \
+            _content_fp(alias_dict, ["surface", "canonical_key"])
+        asrt_fp = "none" if assertions is None else \
+            _content_fp(assertions, ["key_a", "key_b"])
         out: dict[str, DataFrame] = {}
 
         if "extract" in stages:
@@ -225,7 +252,7 @@ class KGPipeline:
                 links, _ = linker(mentions, alias_dict)
                 return links
             out["links"] = self._run_stage(
-                "link", _fingerprint(fp_base, "link"), _link)
+                "link", _fingerprint(fp_base, "link", dict_fp), _link)
             # derived from the MATERIALIZED links — a projection, not a
             # second run of the broadcast/LSH linking DAG. Runs under
             # its own lineage fingerprint (same fp_base) so a new
@@ -234,7 +261,7 @@ class KGPipeline:
             # table from a prior ingest must not feed canonicalize).
             out["equivalence_edges"] = self._run_stage(
                 "equivalence_edges",
-                _fingerprint(fp_base, "equivalence_edges"),
+                _fingerprint(fp_base, "equivalence_edges", dict_fp),
                 lambda: equivalence_edges_from_links(out["links"]))
             # S9/T12 identifier side-channel: unresolved surfaces +
             # mention counts, posted for later dictionary enrichment
@@ -244,7 +271,7 @@ class KGPipeline:
                 "identifier_candidates",
                 self._run_stage(
                     "identifier_candidates",
-                    _fingerprint(fp_base, "identifier_candidates"),
+                    _fingerprint(fp_base, "identifier_candidates", dict_fp),
                     lambda: identifier_candidates(
                         out["links"], freq=out["mention_freq"]))))
         else:
@@ -258,7 +285,9 @@ class KGPipeline:
                         assertions.select(F.col("key_a"), F.col("key_b")))
                 return connected_components(equiv)
             out["components"] = self._run_stage(
-                "canonicalize", _fingerprint(fp_base, "canonicalize"), _cc)
+                "canonicalize",
+                _fingerprint(fp_base, "canonicalize", dict_fp, asrt_fp),
+                _cc)
         else:
             return out
 
@@ -267,7 +296,9 @@ class KGPipeline:
                 return resolve_triples(out["triples"], out["links"],
                                        out["components"])
             out["triples_resolved"] = self._run_stage(
-                "materialize", _fingerprint(fp_base, "materialize"), _resolve)
+                "materialize",
+                _fingerprint(fp_base, "materialize", dict_fp, asrt_fp),
+                _resolve)
             # T9/T10: page document nodes (sha256 identity) and
             # page→entity `mentions` edges land in the SAME nodes/
             # edges tables, but via their own pre-aggregated rows —
@@ -287,7 +318,7 @@ class KGPipeline:
             # crashed-after-commit replay costs a lineage read, not a
             # full re-merge. A new input_fingerprint (real increment)
             # changes fp_base and takes the O(delta) merge path.
-            merge_fp = _fingerprint(fp_base, "graph_merge",
+            merge_fp = _fingerprint(fp_base, "graph_merge", dict_fp, asrt_fp,
                                     include_page_graph)
             if (self.lineage.completed("graph_merge", merge_fp)
                     and gio.table_exists(self._out("nodes"))

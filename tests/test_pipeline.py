@@ -273,3 +273,36 @@ def test_concurrent_side_stages_match_sync(spark, pages_df, alias_df,
         diff = (a.select(cols).exceptAll(b.select(cols)).count()
                 + b.select(cols).exceptAll(a.select(cols)).count())
         assert diff == 0, f"{name}: {diff} differing rows async vs sync"
+
+
+def test_enriched_dict_invalidates_link_stage(spark, pages_df, alias_df,
+                                              assertions_df, tmp_path):
+    """§3.3 enrichment cycle at the PIPELINE level: re-running the same
+    corpus + same input fingerprint with a GROWN alias dictionary must
+    recompute link and everything downstream (the side-input content
+    fingerprint), while extract/triples resume from lineage — stale
+    links would silently survive otherwise."""
+    wd = str(tmp_path / "enrich")
+    pipe = KGPipeline(spark, wd)
+    out1 = pipe.run(pages_df, alias_df, assertions_df,
+                    input_fingerprint="enrich-corpus")
+    cand = out1["identifier_candidates"]
+    assert cand.count() > 0
+    extract_rec = pipe.lineage.read("extract")
+
+    enriched = alias_df.unionByName(
+        cand.select(F.col("norm").alias("surface"),
+                    F.col("suggested_key").alias("canonical_key"),
+                    F.lit("candidate").alias("kind")))
+    pipe2 = KGPipeline(spark, wd)
+    out2 = pipe2.run(pages_df, enriched, assertions_df,
+                     input_fingerprint="enrich-corpus")
+    # extract/triples resumed (no recompute timing recorded) ...
+    assert "extract" not in pipe2.stage_secs
+    assert "triples" not in pipe2.stage_secs
+    assert pipe2.lineage.read("extract") == extract_rec
+    # ... but the link stage ran again and the former fallbacks are
+    # now dictionary hits
+    assert "link" in pipe2.stage_secs
+    assert out2["links"].filter(F.col("method") == "fallback").count() == 0
+    assert out2["identifier_candidates"].count() == 0
