@@ -196,3 +196,59 @@ def _swap_partition_dirs(tmp: str, path: str,
             if os.path.exists(dst):
                 shutil.rmtree(dst)
             os.replace(src, dst)
+
+
+def compact_table(spark: SparkSession, path: str,
+                  partition_by: list[str] | None = None,
+                  small_file_bytes: int = 32 * 1024 * 1024,
+                  target_files: int = 1) -> dict:
+    """Maintenance compaction — the Iceberg `rewrite_data_files`
+    analog. Parallel-encoded sinks (merge_upsert's fanout salt, the
+    write-aligned aggregation's agg_salt) deliberately leave several
+    files per partition directory to keep encode parallelism at write
+    time; a periodic compaction folds each SMALL-FILE directory back
+    to `target_files`, amortized off the ingest hot path exactly the
+    way table-format maintenance jobs are.
+
+    Only leaf directories whose files are all under `small_file_bytes`
+    AND hold more than `target_files` files are rewritten (read →
+    coalesce → write tmp → atomic per-dir swap); everything else is
+    untouched — byte-stable, like merge_upsert's pruning contract.
+    Returns {dirs_compacted, files_before, files_after} so callers can
+    assert the no-op case."""
+    def _leaf_dirs(root: str, level: int) -> list[str]:
+        if level == 0:
+            return [root]
+        out = []
+        for entry in os.listdir(root):
+            full = os.path.join(root, entry)
+            if os.path.isdir(full) and "=" in entry:
+                out.extend(_leaf_dirs(full, level - 1))
+        return out
+
+    levels = len(partition_by) if partition_by else 0
+    stats = {"dirs_compacted": 0, "files_before": 0, "files_after": 0}
+    for leaf in _leaf_dirs(path, levels):
+        files = [os.path.join(leaf, f) for f in os.listdir(leaf)
+                 if f.endswith(".parquet")]
+        stats["files_before"] += len(files)
+        if len(files) <= target_files or \
+                any(os.path.getsize(f) >= small_file_bytes for f in files):
+            stats["files_after"] += len(files)
+            continue
+        tmp = f"{leaf}.__compact__{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(*files).coalesce(target_files) \
+            .write.mode("overwrite").parquet(tmp)
+        # leaf dirs of a PARTITIONED table carry data files only — the
+        # table-level _SUCCESS stays at the root. For an unpartitioned
+        # table the leaf IS the root, so the fresh marker is kept.
+        if leaf != path:
+            marker = os.path.join(tmp, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+        shutil.rmtree(leaf)
+        os.replace(tmp, leaf)
+        stats["dirs_compacted"] += 1
+        stats["files_after"] += len(
+            [f for f in os.listdir(leaf) if f.endswith(".parquet")])
+    return stats

@@ -139,3 +139,58 @@ def test_fanout_preserves_pruning_and_rows(spark, tmp_path):
     assert got.count() == 200
     assert got.filter((F.col("k") == "k3") & (F.col("pred") == "beta")) \
         .select("v").collect() == [(999,)]
+
+
+def test_compact_table_folds_small_files(spark, tmp_path):
+    """Maintenance compaction (io.compact_table, the rewrite_data_files
+    analog): a fanout-written table's multi-file leaf dirs fold to one
+    file per dir with rows identical, a second pass is a byte-stable
+    no-op, and partition-pruned merges still work afterwards."""
+    table = str(tmp_path / "fanout")
+    rows = [(f"k{i}", ["alpha", "beta"][i % 2], i) for i in range(400)]
+    df = _bucketed(spark.createDataFrame(rows, "k string, pred string, v int"))
+    # explicit repartition(4): every task holds rows of every leaf dir,
+    # so the dynamic-partition write leaves 4 files per dir (the fanout
+    # state; an explicit count is never AQE-coalesced)
+    gio.write_table(df.repartition(4), table,
+                    partition_by=["pred", "bucket"])
+    before_rows = sorted((r.k, r.pred, r.v) for r in
+                         spark.read.parquet(table).collect())
+
+    stats = gio.compact_table(spark, table, partition_by=["pred", "bucket"])
+    assert stats["dirs_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    parquet_per_leaf = {
+        rel: [f for f in fs if f.endswith(".parquet")]
+        for rel, fs in _snapshot(table).items() if "bucket=" in rel}
+    assert all(len(fs) == 1 for fs in parquet_per_leaf.values()), \
+        parquet_per_leaf
+    after_rows = sorted((r.k, r.pred, r.v) for r in
+                        spark.read.parquet(table).collect())
+    assert after_rows == before_rows
+
+    # idempotent: second pass touches nothing, bytes stable
+    snap1 = _snapshot(table)
+    stats2 = gio.compact_table(spark, table,
+                               partition_by=["pred", "bucket"])
+    assert stats2["dirs_compacted"] == 0
+    assert _snapshot(table) == snap1
+
+    # merges keep working on the compacted layout
+    delta = _bucketed(spark.createDataFrame(
+        [("k0", "alpha", 999)], "k string, pred string, v int"))
+    gio.merge_upsert(spark, delta, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"])
+    got = {(r.k, r.pred): r.v for r in spark.read.parquet(table).collect()}
+    assert got[("k0", "alpha")] == 999 and len(got) == 400
+
+
+def test_compact_table_unpartitioned_keeps_marker(spark, tmp_path):
+    table = str(tmp_path / "flat")
+    df = spark.range(100).selectExpr("id", "id * 2 as v").repartition(6)
+    gio.write_table(df, table)
+    assert gio.table_exists(table)
+    stats = gio.compact_table(spark, table)
+    assert stats["dirs_compacted"] == 1 and stats["files_after"] == 1
+    assert gio.table_exists(table)
+    assert spark.read.parquet(table).count() == 100
