@@ -387,6 +387,86 @@ def _q_graph_reachability_tombstoned(spark, sf_dir):
         .orderBy("depth", "key")
 
 
+def _q_graph_path_undirected(spark, sf_dir):
+    """Undirected shortest path (SURVEY G1, the reference's Path BFS
+    expands Neighbors = BOTH edge directions, inmem/path.go:103-150
+    via neighborsFromId, both-ways adjacency path.go:57-101): from
+    region r:1 to the smallest shipped part over the feeds DAG — a
+    route that DOES NOT EXIST directed (regions have no out-edges;
+    parts feed suppliers, not vice versa) and exists only by walking
+    edges both ways. Parent choice is the deterministic min rule, so
+    the exact hop list is oracle-replayable (recursive-CTE BFS +
+    min-parent map + parent walk)."""
+    from guackg.graph import bfs_path
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dst = "p:" + str(li.agg(F.min("l_partkey")).collect()[0][0])
+    edges = _feeds_edges(spark, sf_dir)
+    path = bfs_path(edges, "r:1", dst, max_depth=6, direction="both")
+    rows = [(i, k) for i, k in enumerate(path or [])]
+    return spark.createDataFrame(rows, "hop int, key string") \
+        .orderBy("hop")
+
+
+def _versioned_dep_graph(spark, sf_dir):
+    """Deterministic versioned dependency graph from the part table:
+    package name = pkg(partkey%40), version components from moduli
+    COPRIME with 40 (3/11/7 — so versions vary freely within a name
+    instead of being pinned by the name index), each version node of
+    pkg_i depending on every version node of pkg_{(i+1)%40} under a
+    constraint derived from the subject's own version — the shape
+    `DoesRangeInclude` gates in the reference.
+    Returns (edges with constraint col, node_versions, seed_key)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    vers = p.select(
+        (F.col("p_partkey") % 40).cast("int").alias("idx"),
+        (F.col("p_partkey") % 3).cast("int").alias("a"),
+        (F.col("p_partkey") % 11).cast("int").alias("b"),
+        (F.col("p_partkey") % 7).cast("int").alias("c")).distinct()
+    nodes = vers.select(
+        "idx", "a", "b", "c",
+        F.concat(F.lit("pkg"), F.col("idx")).alias("name"),
+        F.concat_ws(".", "a", "b", "c").alias("version"))
+    nodes = nodes.withColumn(
+        "key", F.concat(F.lit("v:"), F.col("name"), F.lit("@"),
+                        F.col("version")))
+    op = F.element_at(
+        F.array(F.lit("^"), F.lit("~"), F.lit(">="), F.lit("<"),
+                F.lit("=")),
+        ((F.col("a") + F.col("b") + F.col("c")) % 5).cast("int") + 1)
+    subj = nodes.select(
+        F.col("key").alias("subj_key"),
+        ((F.col("idx") + 1) % 40).alias("_nxt"),
+        F.concat(op, F.col("version")).alias("constraint"))
+    obj = nodes.select(F.col("idx").alias("_nxt"),
+                       F.col("key").alias("obj_key"))
+    edges = (subj.join(obj, on="_nxt")
+             .select("subj_key", F.lit("depends_on").alias("pred"),
+                     "obj_key", "constraint"))
+    node_versions = nodes.select("key", "version")
+    seed = nodes.filter(F.col("name") == "pkg0") \
+        .orderBy((F.col("a") * 1_000_000 + F.col("b") * 1_000
+                  + F.col("c")), "key") \
+        .select("key").first()["key"]
+    return edges, node_versions, seed
+
+
+def _q_graph_blast_radius_versioned(spark, sf_dir):
+    """Version-aware blast radius (SURVEY G5 × J4 composition — the
+    reference gates patch-planning dependency expansion on version-
+    range membership, guacanalytics/patchPlanning.go:247
+    DoesRangeInclude, cmd/guacone/cmd/vulnerability.go:287
+    WhichVersionMatches): BFS closure with deterministic parent
+    pointers from the smallest pkg0 version node, where every
+    `depends_on` hop is traversable only if the destination's version
+    satisfies the edge's constraint. Oracle: recursive CTE whose edge
+    set applies the same range arithmetic."""
+    from guackg.graph import blast_radius
+    edges, node_versions, seed = _versioned_dep_graph(spark, sf_dir)
+    return blast_radius(edges, [seed], max_depth=3,
+                        node_versions=node_versions) \
+        .orderBy("depth", "key")
+
+
 def _ann_value_gate(spark, sf_dir, topk_fn, **kw):
     """Shared value gate for the probabilistic ANN paths: every
     returned (query_id, vec_id, cosine) must appear in the
@@ -722,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reachability_tombstoned": _q_graph_reachability_tombstoned,
         "graph_toposort_levels": _q_graph_toposort,
         "graph_blast_radius": _q_graph_blast_radius,
+        "graph_blast_radius_versioned": _q_graph_blast_radius_versioned,
+        "graph_path_undirected": _q_graph_path_undirected,
         "graph_affected_roots": _q_graph_affected_roots,
         "semver_range_match": _q_semver_range_match,
         "collect_order_history": _q_collect_order_history,
@@ -735,14 +817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops: dedup / similarity / text analysis
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
-        "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_minhash_containment": _q_minhash_containment,
-        "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_simhash_exactness": _q_simhash_exactness,
         "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_winnow_pairs": _q_winnow_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup,
-        "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "emb_lsh_containment": _q_emb_lsh_containment,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_decode": _q_multimodal_decode,
@@ -757,10 +836,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": _q_text_winnow,
         "text_word_mentions": _q_word_mentions,
         "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_cosine_topk": _q_ann_lsh,
         "ann_lsh_containment": _q_ann_lsh_containment,
         "ann_ivf_cosine_topk": _q_ann_ivf,
         "ann_ivf_containment": _q_ann_ivf_containment,
+    }
+
+
+def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Probabilistic-candidate-set queries whose raw pair/top-k output
+    has no SQL oracle (hash-dependent banding). Each one's VALUES are
+    gated by a registered companion oracle in queries() —
+    dedup_minhash_containment / dedup_simhash_exactness /
+    emb_lsh_containment / ann_lsh_containment assert violations == ∅
+    against exact recomputation — plus pytest recall bounds
+    (tests/test_ops.py). Kept out of queries() so the driver's
+    50-entry correctness record covers every registered query with an
+    oracle row (round-3 verdict task #2); bench.py and tests drive
+    these directly."""
+    return {
+        "dedup_minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
+        "ann_lsh_cosine_topk": _q_ann_lsh,
     }
 
 
@@ -968,6 +1065,108 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'c:1', CAST(0 AS INT), NULL, NULL
             ORDER BY depth, key
+        """,
+        "graph_blast_radius_versioned": """
+            WITH RECURSIVE
+            vers AS (
+                SELECT DISTINCT (p_partkey % 40) AS idx,
+                       (p_partkey % 3) AS a, (p_partkey % 11) AS b,
+                       (p_partkey % 7) AS c
+                FROM part
+            ),
+            nodes AS (
+                SELECT idx, a, b, c,
+                       a * 1000000 + b * 1000 + c AS vnum,
+                       'v:pkg' || idx || '@' || a || '.' || b || '.' || c
+                           AS key
+                FROM vers
+            ),
+            e AS (
+                SELECT s.key AS src, d.key AS dst, 'depends_on' AS pred
+                FROM nodes s JOIN nodes d ON d.idx = (s.idx + 1) % 40
+                WHERE CASE (s.a + s.b + s.c) % 5
+                      WHEN 0 THEN d.vnum >= s.vnum
+                                  AND d.vnum < (s.a + 1) * 1000000
+                      WHEN 1 THEN d.vnum >= s.vnum
+                                  AND d.vnum < s.a * 1000000
+                                      + (s.b + 1) * 1000
+                      WHEN 2 THEN d.vnum >= s.vnum
+                      WHEN 3 THEN d.vnum < s.vnum
+                      ELSE d.vnum = s.vnum
+                      END
+            ),
+            seed AS (SELECT key FROM nodes WHERE idx = 0
+                     ORDER BY vnum, key LIMIT 1),
+            r AS (
+                SELECT (SELECT key FROM seed) AS key, 0 AS depth
+                UNION
+                SELECT e.dst, r.depth + 1
+                FROM r JOIN e ON r.key = e.src
+                WHERE r.depth < 3
+            ),
+            md AS (
+                SELECT key, CAST(min(depth) AS INT) AS depth
+                FROM r GROUP BY key
+            ),
+            cand AS (
+                SELECT c.key, c.depth, p.key AS parent, e.pred AS via_pred,
+                       row_number() OVER (PARTITION BY c.key
+                                          ORDER BY p.key, e.pred) AS rn
+                FROM md c
+                JOIN e ON e.dst = c.key
+                JOIN md p ON p.key = e.src AND p.depth = c.depth - 1
+            )
+            SELECT key, depth, parent, via_pred FROM cand WHERE rn = 1
+            UNION ALL
+            SELECT (SELECT key FROM seed), CAST(0 AS INT), NULL, NULL
+            ORDER BY depth, key
+        """,
+        "graph_path_undirected": """
+            WITH RECURSIVE
+            sup AS (SELECT DISTINCT l_suppkey FROM lineitem),
+            ps AS (SELECT DISTINCT 'p:' || l_partkey AS src,
+                                   's:' || l_suppkey AS dst
+                   FROM lineitem),
+            sn AS (SELECT DISTINCT 's:' || s_suppkey AS src,
+                                   'n:' || s_nationkey AS dst
+                   FROM supplier JOIN sup ON s_suppkey = l_suppkey),
+            nat AS (SELECT DISTINCT s_nationkey
+                    FROM supplier JOIN sup ON s_suppkey = l_suppkey),
+            nr AS (SELECT DISTINCT 'n:' || n_nationkey AS src,
+                                   'r:' || n_regionkey AS dst
+                   FROM nation JOIN nat ON n_nationkey = s_nationkey),
+            de AS (SELECT * FROM ps UNION ALL SELECT * FROM sn
+                   UNION ALL SELECT * FROM nr),
+            ue AS (SELECT src, dst FROM de
+                   UNION SELECT dst, src FROM de),
+            r AS (
+                SELECT 'r:1' AS key, 0 AS depth
+                UNION
+                SELECT ue.dst, r.depth + 1
+                FROM r JOIN ue ON r.key = ue.src
+                WHERE r.depth < 6
+            ),
+            md AS (
+                SELECT key, CAST(min(depth) AS INT) AS depth
+                FROM r GROUP BY key
+            ),
+            pm AS (
+                SELECT c.key, min(p.key) AS parent
+                FROM md c
+                JOIN ue ON ue.dst = c.key
+                JOIN md p ON p.key = ue.src AND p.depth = c.depth - 1
+                GROUP BY c.key
+            ),
+            walk AS (
+                SELECT md.key, md.depth AS hop FROM md
+                WHERE md.key = 'p:' || (SELECT min(l_partkey)
+                                        FROM lineitem)
+                UNION ALL
+                SELECT pm.parent, walk.hop - 1
+                FROM walk JOIN pm ON pm.key = walk.key
+                WHERE walk.hop > 0
+            )
+            SELECT CAST(hop AS INT) AS hop, key FROM walk ORDER BY hop
         """,
         "graph_affected_roots": """
             WITH RECURSIVE

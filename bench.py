@@ -120,7 +120,7 @@ def main() -> None:
     # (skippable for scaling repeats: only the pipeline feeds the
     # efficiency metric)
     import __spark_entry__ as E
-    qs = E.queries()
+    qs = {**E.queries(), **E.ungated_queries()}
     headline = ["q1_pricing_summary", "q5_local_supplier_volume",
                 "window_top_customers_per_nation", "dedup_exact",
                 "dedup_minhash_lsh_pairs", "text_quality_score",

@@ -43,7 +43,9 @@ def neighbors(edges: DataFrame, key: str,
 def reachable_from(edges: DataFrame, start_keys: list[str],
                    max_depth: int = 5,
                    preds: list[str] | None = None,
-                   skip_keys: DataFrame | None = None) -> DataFrame:
+                   skip_keys: DataFrame | None = None,
+                   node_versions: DataFrame | None = None,
+                   constraint_col: str = "constraint") -> DataFrame:
     """Directed closure: (key, depth) for everything reachable from
     start_keys in ≤ max_depth hops. Iterative frontier joins.
 
@@ -52,8 +54,18 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
     THROUGH — the reference's BFS skips noVuln ('scanned clean')
     nodes during vulnerability search exactly this way
     (inmem/path.go:314). Implemented as one left-anti join per
-    frontier round (the skip set is typically tiny: broadcast)."""
+    frontier round (the skip set is typically tiny: broadcast).
+
+    `node_versions` (key, version) turns on the version-aware hop
+    gate: edges carrying a non-null `constraint_col` are followed only
+    when the destination's version satisfies the range
+    (patchPlanning.go:247 DoesRangeInclude — see
+    ops/version.py::version_gate_edges for the equivalence argument)."""
     spark = edges.sparkSession
+    if node_versions is not None and constraint_col in edges.columns:
+        from guackg.ops.version import version_gate_edges
+        edges = version_gate_edges(edges, node_versions,
+                                   constraint_col=constraint_col)
     e = edges.select(F.col("subj_key").alias("src"),
                      F.col("obj_key").alias("dst"),
                      "pred")
@@ -87,7 +99,9 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
 
 def blast_radius(edges: DataFrame, start_keys: list[str],
                  max_depth: int = 5,
-                 preds: list[str] | None = None) -> DataFrame:
+                 preds: list[str] | None = None,
+                 node_versions: DataFrame | None = None,
+                 constraint_col: str = "constraint") -> DataFrame:
     """Typed BFS closure WITH parent pointers: (key, depth, parent,
     via_pred) for everything reachable from start_keys — the
     patch-planning blast-radius shape (guacanalytics/
@@ -100,8 +114,17 @@ def blast_radius(edges: DataFrame, start_keys: list[str],
 
     Scale shape: per round ONE equi-join frontier×edges (shuffle on
     src), one left-anti vs visited, one per-key window for the parent
-    pick; lineage cut each round."""
+    pick; lineage cut each round.
+
+    `node_versions` (key, version) turns on the version-aware hop
+    gate exactly as in `reachable_from` — the patch-planning use of
+    `DoesRangeInclude` (patchPlanning.go:247) IS a blast radius whose
+    dependency hops honor version ranges."""
     spark = edges.sparkSession
+    if node_versions is not None and constraint_col in edges.columns:
+        from guackg.ops.version import version_gate_edges
+        edges = version_gate_edges(edges, node_versions,
+                                   constraint_col=constraint_col)
     from pyspark.sql import Window
     e = edges.select(F.col("subj_key").alias("src"),
                      F.col("obj_key").alias("dst"), "pred")
@@ -157,11 +180,28 @@ def affected_roots(edges: DataFrame, seed_keys: list[str],
 
 
 def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
-             max_depth: int = 5) -> list[str] | None:
-    """Shortest directed path src→dst as a key list (path.go:103-172:
-    parent-pointer BFS). Returns None if unreachable in max_depth."""
+             max_depth: int = 5,
+             direction: str = "out") -> list[str] | None:
+    """Shortest path src→dst as a key list (path.go:103-172:
+    parent-pointer BFS). Returns None if unreachable in max_depth.
+
+    `direction="both"` expands each frontier over BOTH edge
+    orientations — the reference's Path BFS walks `Neighbors`, i.e.
+    undirected adjacency (inmem/path.go:103-150 via neighborsFromId,
+    both-ways adjacency built at path.go:57-101), so a src→dst pair
+    connected only against edge direction still has a path. The
+    default "out" keeps the directed search.
+
+    Parent choice is DETERMINISTIC: among the frontier keys that
+    discover a node in the same round, the lexicographically smallest
+    wins (min aggregate, not map-insert order) — so the returned path
+    is a pure function of the graph, replayable by a SQL oracle."""
     e = edges.select(F.col("subj_key").alias("src"),
-                     F.col("obj_key").alias("dst")).distinct().persist()
+                     F.col("obj_key").alias("dst"))
+    if direction == "both":
+        e = e.unionByName(edges.select(F.col("obj_key").alias("src"),
+                                       F.col("subj_key").alias("dst")))
+    e = e.distinct().persist()
     e.count()
     spark = edges.sparkSession
     visited = spark.createDataFrame([(src_key, None)],
@@ -174,7 +214,7 @@ def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
         nxt = (frontier.join(e, frontier.key == e.src)
                .select(F.col("dst").alias("key"),
                        F.col("key").alias("parent"))
-               .dropDuplicates(["key"])
+               .groupBy("key").agg(F.min("parent").alias("parent"))
                .join(visited.select("key"), on="key", how="left_anti")
                .localCheckpoint())
         if nxt.isEmpty():
@@ -201,7 +241,8 @@ def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
 
 def bfs_path_edges(edges: DataFrame, src_key: str, dst_key: str,
                    max_depth: int = 5,
-                   nodes: DataFrame | None = None) -> DataFrame | None:
+                   nodes: DataFrame | None = None,
+                   direction: str = "out") -> DataFrame | None:
     """Shortest path src→dst WITH full edge (and optionally node)
     properties — the reference's path API returns node/edge OBJECTS,
     not bare keys (inmem/path.go:141-172 appends the typed edge and
@@ -217,16 +258,27 @@ def bfs_path_edges(edges: DataFrame, src_key: str, dst_key: str,
     last_seen, match_level [, subj_kind, obj_kind]) with exactly
     len(path)-1 rows. The path is ≤ max_depth hops, so the hop frame
     is driver-built; the property join stays distributed."""
-    path = bfs_path(edges, src_key, dst_key, max_depth=max_depth)
+    path = bfs_path(edges, src_key, dst_key, max_depth=max_depth,
+                    direction=direction)
     if path is None:
         return None
     spark = edges.sparkSession
     hops = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(zip(path, path[1:]))],
         "step int, subj_key string, obj_key string")
+    prop_cols = ["pred", "n_evidence", "first_seen", "last_seen",
+                 "match_level"]
+    cand = edges.select("subj_key", "obj_key", *prop_cols)
+    if direction == "both":
+        # an undirected hop a→b may exist only as the stored edge
+        # (b, pred, a): surface it under the TRAVERSAL orientation,
+        # keeping the edge's own properties
+        cand = cand.unionByName(
+            edges.select(F.col("obj_key").alias("subj_key"),
+                         F.col("subj_key").alias("obj_key"), *prop_cols))
     from pyspark.sql import Window
     w = Window.partitionBy("step").orderBy("pred", "first_seen")
-    out = (F.broadcast(hops).join(edges, on=["subj_key", "obj_key"])
+    out = (F.broadcast(hops).join(cand, on=["subj_key", "obj_key"])
            .withColumn("_rn", F.row_number().over(w))
            .filter(F.col("_rn") == 1)
            .select("step", "subj_key", "pred", "obj_key", "n_evidence",

@@ -41,7 +41,7 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 def write_table(df: DataFrame, path: str,
                 partition_by: list[str] | None = None,
-                commit_gate=None) -> None:
+                commit_gate=None, commit_abort=None) -> None:
     """Deterministic overwrite with atomic swap.
 
     `commit_gate` (a threading.Event, optional) implements
@@ -50,7 +50,14 @@ def write_table(df: DataFrame, path: str,
     gate. The pipeline uses it to keep the assembler's nodes-before-
     edges visibility order (bulk.go:29-191) while both merges compute
     concurrently — a reader never observes edges whose endpoints'
-    node table hasn't committed yet."""
+    node table hasn't committed yet.
+
+    `commit_abort` (a threading.Event, optional) is the failure side
+    of that contract: when the upstream commit FAILED, the gate owner
+    sets abort before releasing the gate, and this write discards its
+    tmp dir and raises instead of swapping — the table is left exactly
+    as it was (the Iceberg analog: a MERGE in the same transaction as
+    a failed dependency never commits its snapshot)."""
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
     w = df.write.mode("overwrite")
     if partition_by:
@@ -58,6 +65,10 @@ def write_table(df: DataFrame, path: str,
     w.parquet(tmp)
     if commit_gate is not None:
         commit_gate.wait()
+    if commit_abort is not None and commit_abort.is_set():
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"commit aborted for {path}: gated "
+                           "prerequisite commit failed")
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
@@ -69,7 +80,8 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
                  assume_unique: bool = False,
                  fanout: int = 1,
                  pre_distributed: bool = False,
-                 commit_gate=None) -> None:
+                 commit_gate=None, commit_abort=None,
+                 delete_keys: DataFrame | None = None) -> None:
     """Keyed upsert: incoming rows replace existing rows with the same
     key (guac's find-or-create trie upsert, pkg.go:344-434; on Iceberg
     this whole function is one `MERGE INTO target USING df ON keys
@@ -109,6 +121,16 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     the old∪new union (the old rows arrive with file layout, not
     shuffle layout).
 
+    `delete_keys` (optional) is the RETRACTION side of the merge — the
+    Iceberg `MERGE … WHEN MATCHED AND op = 'delete' THEN DELETE`
+    analog: existing rows whose `keys` match a delete row are dropped
+    (unless `df` re-inserts the same key). The frame must carry the
+    key columns AND the partition columns (same functional-dependence
+    contract as `keys`), so deletes prune to their partitions exactly
+    like upserts; a partition emptied entirely by deletes is removed.
+    Used by the enrichment re-link to retract stale `ent:guac/…`
+    fallback identities after promotion (round-3 advice #3).
+
     `fanout` = parallel write tasks (⇒ files) per partition dir. At
     fanout=1 the pre-write repartition hashes on the partition tuple
     alone — one file per dir, but a dir can then never be encoded by
@@ -135,20 +157,31 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     if multi and not pre_distributed:
         new = _spread(new)
     if not table_exists(path):
-        write_table(new, path, partition_by, commit_gate=commit_gate)
+        write_table(new, path, partition_by, commit_gate=commit_gate,
+                    commit_abort=commit_abort)
         return
     old = read_table(spark, path)
+    # rows that must NOT survive from the old table: replaced keys
+    # plus (when retracting) deleted keys
+    anti = new.select(keys).distinct()
+    if delete_keys is not None:
+        anti = anti.unionByName(delete_keys.select(keys).distinct())
     if not partition_by:
-        merged = old.join(new.select(keys).distinct(), on=keys,
-                          how="left_anti").unionByName(new)
-        write_table(merged, path, partition_by, commit_gate=commit_gate)
+        merged = old.join(anti, on=keys, how="left_anti").unionByName(new)
+        write_table(merged, path, partition_by, commit_gate=commit_gate,
+                    commit_abort=commit_abort)
         return
 
     # partition-pruned merge: only partition TUPLES containing new
-    # keys are touched. The affected-values collect is bounded by the
-    # partition columns' cardinality (kind / pred×bucket: O(100)) —
-    # not by data size.
+    # keys (or deletes) are touched. The affected-values collect is
+    # bounded by the partition columns' cardinality (kind /
+    # pred×bucket: O(100)) — not by data size.
     affected = new.select(*partition_by).distinct().collect()
+    if delete_keys is not None:
+        seen = {tuple(r) for r in affected}
+        affected = affected + [
+            r for r in delete_keys.select(*partition_by).distinct()
+            .collect() if tuple(r) not in seen]
     if multi:
         # per first-level value, an IN-list on the second level —
         # Catalyst turns this into partition-directory pruning
@@ -163,8 +196,7 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     else:
         pred = F.col(partition_by[0]).isin([r[0] for r in affected])
     old_hit = old.filter(pred)
-    merged = old_hit.join(new.select(keys).distinct(), on=keys,
-                          how="left_anti").unionByName(new)
+    merged = old_hit.join(anti, on=keys, how="left_anti").unionByName(new)
     if multi:
         merged = _spread(merged)
 
@@ -172,10 +204,27 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
     if commit_gate is not None:
         commit_gate.wait()
+    if commit_abort is not None and commit_abort.is_set():
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"commit aborted for {path}: gated "
+                           "prerequisite commit failed")
     # swap ONLY the affected partition subdirs into place (per-dir
     # atomic rename — the parquet analog of Iceberg's partition-level
     # snapshot commit), walking the partition tree to the leaf level
+    # an affected tuple whose merged output is EMPTY (all rows deleted)
+    # produces no dir in tmp — note those BEFORE the swap empties tmp,
+    # and remove the stale target dirs after it. Partition values here
+    # are plain tokens/ints (contract), so the dir name is the literal
+    # col=value join.
+    emptied = []
+    for r in affected:
+        rel = [f"{c}={r[i]}" for i, c in enumerate(partition_by)]
+        if not os.path.exists(os.path.join(tmp, *rel)):
+            emptied.append(rel)
     _swap_partition_dirs(tmp, path, partition_by)
+    for rel in emptied:
+        if os.path.exists(os.path.join(path, *rel)):
+            shutil.rmtree(os.path.join(path, *rel))
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -228,6 +277,18 @@ def compact_table(spark: SparkSession, path: str,
 
     levels = len(partition_by) if partition_by else 0
     stats = {"dirs_compacted": 0, "files_before": 0, "files_after": 0}
+    # sweep residue from a previously crashed compaction BEFORE
+    # touching anything: tmp dirs live beside partition dirs, so they
+    # carry a '_' prefix (Spark's file index skips '_'/'.' entries —
+    # residue is invisible to readers) and are safe to delete — the
+    # swap below is the last step, so a leftover tmp never holds the
+    # only copy of a leaf's rows.
+    for dirpath, dirnames, _files in os.walk(path):
+        for d in list(dirnames):
+            if d.startswith("_compact_tmp_"):
+                shutil.rmtree(os.path.join(dirpath, d),
+                              ignore_errors=True)
+                dirnames.remove(d)
     for leaf in _leaf_dirs(path, levels):
         files = [os.path.join(leaf, f) for f in os.listdir(leaf)
                  if f.endswith(".parquet")]
@@ -236,7 +297,12 @@ def compact_table(spark: SparkSession, path: str,
                 any(os.path.getsize(f) >= small_file_bytes for f in files):
             stats["files_after"] += len(files)
             continue
-        tmp = f"{leaf}.__compact__{uuid.uuid4().hex[:8]}"
+        # tmp is a SIBLING of the leaf but '_'-prefixed: Spark's
+        # partition discovery ignores '_'/'.' entries, so a crash
+        # between write and swap can never be parsed as a partition
+        # dir (duplicating the leaf) — and the sweep above reclaims it
+        tmp = os.path.join(os.path.dirname(leaf),
+                           f"_compact_tmp_{uuid.uuid4().hex[:8]}")
         spark.read.parquet(*files).coalesce(target_files) \
             .write.mode("overwrite").parquet(tmp)
         # leaf dirs of a PARTITIONED table carry data files only — the

@@ -103,3 +103,53 @@ def version_range_join(deps: DataFrame, versions: DataFrame,
                     & (F.col("vnum") < F.col("_hi")))
             .drop("_lo", "_hi", "_branch")
             .dropDuplicates(in_cols + [version_col]))
+
+
+def version_gate_edges(edges: DataFrame, node_versions: DataFrame,
+                       constraint_col: str = "constraint",
+                       dst_col: str = "obj_key") -> DataFrame:
+    """Version-aware edge gate for graph traversal — the reference's
+    `DoesRangeInclude` check during blast-radius / vulnerability
+    dependency expansion (/root/reference/pkg/guacanalytics/
+    patchPlanning.go:247; cmd/guacone/cmd/vulnerability.go:287
+    `WhichVersionMatches`): an edge carrying a version constraint is
+    traversable only if the DESTINATION node's version satisfies it.
+
+    The gate is a pure function of (edge, destination node), so
+    applying it ONCE as a vectorized pre-filter over the edge set is
+    semantically identical to re-evaluating it at every BFS hop — and
+    pays the constraint parse once instead of once per round. Rules
+    (all JVM-side, no silent match-all):
+
+    - constraint IS NULL          → edge always traversable
+    - constraint present, dst has a parseable version in range → pass
+    - constraint present, dst missing from `node_versions`, version
+      unparseable, or out of range → edge dropped
+    - `A || B` unions (depversion.go:93-130) → pass if ANY branch does
+
+    `node_versions` is (key, version). Scale shape: one equi-join of
+    constrained edges against node versions on the dst key (shuffles
+    on the node key, same distribution the traversal itself uses);
+    union-branch explode happens before the join, and the output
+    dedups back to one row per input edge."""
+    in_cols = edges.columns
+    free = edges.filter(F.col(constraint_col).isNull())
+    cons = edges.filter(F.col(constraint_col).isNotNull())
+    v = (node_versions
+         .select(F.col(node_versions.columns[0]).alias("_vkey"),
+                 version_num(F.col(node_versions.columns[1]))
+                 .alias("_vnum"))
+         .filter(F.col("_vnum").isNotNull()))
+    branch = F.explode(F.transform(
+        F.split(F.col(constraint_col), r"\s*\|\|\s*"),
+        lambda c: F.trim(c)))
+    d = cons.withColumn("_branch", branch)
+    lo, hi = constraint_bounds(F.col("_branch"))
+    d = d.withColumn("_lo", lo).withColumn("_hi", hi) \
+        .filter(F.col("_lo").isNotNull())
+    passed = (d.join(v, d[dst_col] == v["_vkey"])
+              .filter((F.col("_vnum") >= F.col("_lo"))
+                      & (F.col("_vnum") < F.col("_hi")))
+              .select(*in_cols)
+              .dropDuplicates(in_cols))
+    return free.unionByName(passed)

@@ -134,10 +134,10 @@ class KGPipeline:
             return env == "0"
         return not self.spark.sparkContext.master.startswith("local[")
 
-    def _spawn(self, fn) -> None:
+    def _spawn(self, fn) -> threading.Thread | None:
         if not self._async:
             fn()          # single-JVM master: run side stages inline
-            return
+            return None
         def _worker():
             try:
                 fn()
@@ -146,6 +146,7 @@ class KGPipeline:
         t = threading.Thread(target=_worker, daemon=True)
         t.start()
         self._threads.append(t)
+        return t
 
     def _run(
         self,
@@ -334,6 +335,12 @@ class KGPipeline:
             # edge sink's commit_gate holds the edges swap until the
             # nodes table is visible.
             nodes_gate = threading.Event()
+            # failure side of the gate: set BEFORE the gate releases
+            # when the nodes merge failed, so the edges sink aborts its
+            # swap instead of committing edges over missing/stale nodes
+            # (the nodes-before-edges visibility invariant holds on the
+            # failure path too — never only on success)
+            nodes_failed = threading.Event()
 
             def _nodes_merge():
                 t0 = time.time()
@@ -350,12 +357,14 @@ class KGPipeline:
                                      partition_by=["kind"],
                                      assume_unique=True)
                     self.stage_secs["nodes_merge"] = round(time.time() - t0, 2)
+                except BaseException:
+                    nodes_failed.set()   # ordering: abort before gate
+                    raise                # recorded by _spawn's worker
                 finally:
-                    # set even on failure so the edges thread can't hang;
-                    # the failure itself propagates via run()'s finally
+                    # set even on failure so the edges thread can't hang
                     nodes_gate.set()
 
-            self._spawn(_nodes_merge)
+            nodes_thread = self._spawn(_nodes_merge)
             t0 = time.time()
             # Bucket COUNT is a deploy-time constant sized to keep
             # bucket files near the parquet row-group sweet spot
@@ -417,10 +426,17 @@ class KGPipeline:
                              partition_by=["pred", "bucket"],
                              assume_unique=True, fanout=fanout,
                              pre_distributed=True,
-                             commit_gate=nodes_gate)
+                             commit_gate=nodes_gate,
+                             commit_abort=nodes_failed)
             self.stage_secs["edges_merge"] = round(time.time() - t0, 2)
-            if self._errors:          # nodes merge failed → fail the run
-                raise self._errors[0]
+            # join the nodes thread BEFORE recording graph_merge: the
+            # lineage row asserts both merges committed, and the error
+            # append in the worker races the gate otherwise
+            if nodes_thread is not None:
+                nodes_thread.join()
+            if nodes_failed.is_set() or self._errors:
+                raise (self._errors[0] if self._errors
+                       else RuntimeError("nodes merge failed"))
             out["nodes"] = gio.read_table(self.spark, self._out("nodes"))
             out["edges"] = gio.read_table(self.spark, self._out("edges"))
             self.lineage.record("graph_merge", merge_fp, out["edges"],

@@ -17,9 +17,13 @@ Queries:
                reported nor traversed through, inmem/path.go:314)
   blast      — closure with parent pointers + via_pred (patch-planning
                blast radius, guacanalytics/patchPlanning.go:55-150)
-  roots      — reverse closure to top-level roots (vuln → affected
-               products, guacanalytics/searchForSBOMViaName analog)
-  path       — shortest directed path --start → --dst as a key list
+  roots      — reverse closure to top-level roots of the --root-prefix
+               namespace (vuln → affected products,
+               guacanalytics/searchForSBOMViaName analog)
+  path       — shortest path --start → --dst as a key list;
+               --direction both (default) walks edges BOTH ways like
+               the reference's Neighbors-driven BFS (path.go:57-150),
+               --direction out restricts to the directed search
   path-edges — same path with full edge objects (pred, n_evidence,
                match_level per hop — path.go:141-172 node/edge return)
   toposort   — Kahn levels over the whole graph
@@ -83,19 +87,27 @@ def run_query(spark, args) -> tuple[list[dict], int]:
         df = G.blast_radius(edges, [args.start],
                             max_depth=args.max_depth, preds=preds)
     elif args.query == "roots":
-        df = G.affected_roots(edges, [args.start],
+        if not args.root_prefix:
+            raise SystemExit("--query roots requires --root-prefix "
+                             "(the root-node key namespace, e.g. 'page:')")
+        df = G.affected_roots(edges, [args.start], args.root_prefix,
                               max_depth=args.max_depth, preds=preds,
                               skip_keys=skip)
     elif args.query == "path":
+        # --direction both = the reference's Neighbors-driven BFS
+        # (undirected adjacency, inmem/path.go:57-150); default out
+        # keeps the directed search
         path = G.bfs_path(edges, args.start, args.dst,
-                          max_depth=args.max_depth)
+                          max_depth=args.max_depth,
+                          direction=args.direction)
         rows = [] if path is None else \
             [{"hop": i, "key": k} for i, k in enumerate(path)]
         return rows, len(rows)
     elif args.query == "path-edges":
         nodes = gio.read_table(spark, os.path.join(args.workdir, "nodes"))
         df = G.bfs_path_edges(edges, args.start, args.dst,
-                              max_depth=args.max_depth, nodes=nodes)
+                              max_depth=args.max_depth, nodes=nodes,
+                              direction=args.direction)
         if df is None:
             return [], 0
     elif args.query == "toposort":
@@ -125,6 +137,9 @@ def main() -> None:
     ap.add_argument("--direction", default="both",
                     choices=("in", "out", "both"))
     ap.add_argument("--max-depth", type=int, default=5)
+    ap.add_argument("--root-prefix", default=None,
+                    help="roots: canonical-key prefix that marks "
+                         "top-level root nodes (e.g. 'page:')")
     ap.add_argument("--kind", default=None, help="find: node kind")
     ap.add_argument("--key-prefix", default=None,
                     help="find: canonical-key prefix")
@@ -141,6 +156,8 @@ def main() -> None:
         ap.error(f"--query {args.query} requires --start")
     if args.query in ("path", "path-edges") and not args.dst:
         ap.error(f"--query {args.query} requires --dst")
+    if args.query == "roots" and not args.root_prefix:
+        ap.error("--query roots requires --root-prefix")
 
     spark = get_spark("guackg-query", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")

@@ -72,6 +72,85 @@ def test_bfs_path(edges):
     assert bfs_path(edges, "a", "a") == ["a"]
 
 
+def test_bfs_path_undirected(spark, edges):
+    """path.go:103-150 parity: the reference's Path BFS expands
+    Neighbors — BOTH edge directions (adjacency built both ways at
+    path.go:57-101) — so a pair connected only against edge direction
+    still has a path. Directed search must fail where undirected
+    succeeds."""
+    # e→a: only reachable walking every edge backwards
+    assert bfs_path(edges, "e", "a") is None
+    assert bfs_path(edges, "e", "a", direction="both") == \
+        ["e", "d", "c", "b", "a"]
+    # f→d: needs one backward hop (f←c) then one forward (c→d)
+    assert bfs_path(edges, "f", "d") is None
+    assert bfs_path(edges, "f", "d", direction="both") == ["f", "c", "d"]
+    # deterministic min-parent among two equal-length undirected routes
+    g = spark.createDataFrame(
+        [("s", "p", "m2"), ("m2", "p", "t"), ("m1", "p", "s"),
+         ("m1", "p", "t")],
+        "subj_key string, pred string, obj_key string")
+    assert bfs_path(g, "s", "t", direction="both") == ["s", "m1", "t"]
+
+
+def test_bfs_path_edges_undirected_orientation(spark):
+    """An undirected hop traversed against storage orientation still
+    surfaces the stored edge's properties, reported under the
+    TRAVERSAL orientation."""
+    from datetime import datetime
+    from guackg.graph import bfs_path_edges
+    ts = datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [("a", "founded_by", "b", 3, ts, ts, "exact"),
+         ("c", "works_for", "b", 1, ts, ts, "fuzzy")],
+        "subj_key string, pred string, obj_key string, n_evidence long,"
+        "first_seen timestamp, last_seen timestamp, match_level string")
+    assert bfs_path_edges(e, "a", "c") is None
+    rows = bfs_path_edges(e, "a", "c", direction="both").collect()
+    assert [(r.step, r.subj_key, r.pred, r.obj_key) for r in rows] == \
+        [(0, "a", "founded_by", "b"), (1, "b", "works_for", "c")]
+    assert rows[1].n_evidence == 1 and rows[1].match_level == "fuzzy"
+
+
+def test_version_gated_traversal(spark):
+    """patchPlanning.go:247 DoesRangeInclude parity: a hop carrying a
+    version constraint is followed only when the destination's version
+    satisfies it; constraint-free hops always pass; a constrained hop
+    to a node with no known version never passes."""
+    e = spark.createDataFrame(
+        [("app", "depends_on", "lib@1.2.0", "^1.0.0"),
+         ("app", "depends_on", "lib@2.0.0", "^1.0.0"),
+         ("app", "depends_on", "doc", None),
+         ("lib@1.2.0", "depends_on", "core@0.9.0", "~0.9.0 || >=2.0.0"),
+         ("lib@2.0.0", "depends_on", "core@3.1.4", "=3.1.3"),
+         ("doc", "depends_on", "ghost", ">=0.0.0")],
+        "subj_key string, pred string, obj_key string, constraint string")
+    vers = spark.createDataFrame(
+        [("lib@1.2.0", "1.2.0"), ("lib@2.0.0", "2.0.0"),
+         ("core@0.9.0", "0.9.0"), ("core@3.1.4", "3.1.4")],
+        "key string, version string")
+    got = {(r.key, r.depth)
+           for r in reachable_from(e, ["app"], max_depth=3,
+                                   node_versions=vers).collect()}
+    # lib@2.0.0 fails ^1.0.0; core@3.1.4 fails =3.1.3 (and is only
+    # reachable through the failed lib@2.0.0 anyway); ghost has no
+    # version so >=0.0.0 cannot admit it; the union's ~0.9.0 branch
+    # admits core@0.9.0
+    assert got == {("app", 0), ("lib@1.2.0", 1), ("doc", 1),
+                   ("core@0.9.0", 2)}
+    # ungated: everything is reachable
+    ungated = {r.key for r in reachable_from(
+        e.drop("constraint"), ["app"], max_depth=3).collect()}
+    assert ungated == {"app", "lib@1.2.0", "lib@2.0.0", "doc",
+                       "core@0.9.0", "core@3.1.4", "ghost"}
+    # blast radius honors the same gate and keeps parent pointers
+    br = {r.key: (r.depth, r.parent)
+          for r in blast_radius(e, ["app"], max_depth=3,
+                                node_versions=vers).collect()}
+    assert set(br) == {"app", "lib@1.2.0", "doc", "core@0.9.0"}
+    assert br["core@0.9.0"] == (2, "lib@1.2.0")
+
+
 def test_toposort_levels_dag_and_cycle(spark, edges):
     levels = {r.key: r.level for r in toposort_levels(edges).collect()}
     assert levels["x"] == 0

@@ -42,7 +42,7 @@ def test_pipeline_stages_have_no_row_python(spark, pages_df, alias_df):
 
 def test_operator_battery_has_no_row_python(spark):
     import __spark_entry__ as E
-    for name, fn in E.queries().items():
+    for name, fn in {**E.queries(), **E.ungated_queries()}.items():
         _assert_no_row_python(fn(spark, SF_DIR), name)
 
 

@@ -25,8 +25,8 @@ def built_workdir(spark, pages_df, alias_df, assertions_df,
 def _args(**kw):
     base = dict(workdir=None, query=None, start=None, dst=None,
                 preds="", direction="both", max_depth=4, kind=None,
-                key_prefix=None, skip_tombstoned=False, limit=50,
-                master=None)
+                key_prefix=None, root_prefix=None,
+                skip_tombstoned=False, limit=50, master=None)
     base.update(kw)
     return argparse.Namespace(**base)
 
@@ -86,3 +86,38 @@ def test_query_cli_modes(spark, built_workdir):
     assert total == 1 and rows[0]["subj_key"] == start \
         and rows[0]["obj_key"] == dst and "match_level" in rows[0] \
         and "subj_kind" in rows[0]
+
+    # roots: which page documents mention `start` (reverse closure
+    # filtered to the page: namespace) — requires --root-prefix
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="roots", start=start,
+                     root_prefix="page:", limit=10_000))
+    assert total > 0 and all(r["key"].startswith("page:") for r in rows)
+    with pytest.raises(SystemExit):
+        Q.run_query(spark, _args(workdir=built_workdir, query="roots",
+                                 start=start))
+
+    # undirected path: a page never has in-edges, so page→page is
+    # unreachable directed but connected via a shared mention
+    pg = rows[0]["key"]
+    mentions_of_pg = [r["neighbor_key"] for r in Q.run_query(
+        spark, _args(workdir=built_workdir, query="neighbors",
+                     start=pg, direction="out"))[0]]
+    other = None
+    for m in mentions_of_pg[:5]:
+        pages_2hop, _ = Q.run_query(
+            spark, _args(workdir=built_workdir, query="roots",
+                         start=m, root_prefix="page:", max_depth=1,
+                         limit=10_000))
+        other = next((r["key"] for r in pages_2hop if r["key"] != pg),
+                     None)
+        if other:
+            break
+    assert other is not None, "no co-mentioning page found"
+    assert Q.run_query(spark, _args(
+        workdir=built_workdir, query="path", start=pg, dst=other,
+        direction="out"))[1] == 0
+    rows, total = Q.run_query(spark, _args(
+        workdir=built_workdir, query="path", start=pg, dst=other,
+        direction="both"))
+    assert total >= 3 and rows[0]["key"] == pg and rows[-1]["key"] == other
