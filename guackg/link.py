@@ -289,6 +289,41 @@ def link_mentions_driver(
     return links, equivalence_edges_from_links(links)
 
 
+def relink_fallbacks(links: DataFrame, dict_delta: DataFrame) -> DataFrame:
+    """O(promotions) re-link for the enrichment cycle: when the alias
+    dictionary GROWS (entries are only ever added — the collectsub
+    promotion path), the only links that can change to a HIGHER tier
+    via the dict join are the previously-unresolved `fallback` norms —
+    exactly the reference's anti-join rule of re-processing only
+    components without fresh results (root_package.go:127-184).
+
+    One broadcast join of the fallback norms against the delta
+    dictionary; returns only the CHANGED rows (norm, canonical_key,
+    'dict'), ready to merge into the links table. The fuzzy (LSH)
+    tier is deliberately not re-evaluated here: a new dictionary
+    surface could also fuzzy-match some other unresolved norm, but
+    dict hits outrank lsh anyway (precision guard) and the next
+    full ingest re-links its batch's whole vocabulary against the
+    enriched dictionary — the same eventual-consistency the
+    reference's certifier loop has."""
+    fallbacks = links.filter(F.col("method") == "fallback").select("norm")
+    delta = dict_delta.select(F.col("surface").alias("norm"),
+                              "canonical_key")
+    # one key per surface, deterministically: a promotion to a REAL
+    # identity beats a confirmation under the synthesized ent:guac/
+    # key, then lexicographic min — so a conflicting promotion batch
+    # (the same surface curated twice) resolves the same way on every
+    # run instead of by row order
+    w = Window.partitionBy("norm").orderBy(
+        F.col("canonical_key").startswith("ent:guac/").cast("int"),
+        "canonical_key")
+    delta = delta.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") == 1).drop("_rn")
+    return (fallbacks.join(F.broadcast(delta), on="norm")
+            .select("norm", "canonical_key",
+                    F.lit("dict").alias("method")))
+
+
 def equivalence_edges_from_links(links: DataFrame) -> DataFrame:
     """Equivalence edges are a pure projection of the links table —
     callers that materialize links should derive the edges from the

@@ -68,23 +68,40 @@ def main() -> None:
     n_candidates = cand.count()
     t_first = time.time()
 
+    # localCheckpoint: the promotion rows derive from the candidate
+    # table the delta pass overwrites — pin them first
     promoted = (cand.filter(F.col("n_mentions") >= args.min_mentions)
                 .orderBy(F.desc("n_mentions"), "norm")
                 .limit(args.max_promotions)
                 .select(F.col("norm").alias("surface"),
                         F.col("suggested_key").alias("canonical_key"),
-                        F.lit("candidate").alias("kind")))
+                        F.lit("candidate").alias("kind"))
+                .localCheckpoint())
     n_promoted = promoted.count()
 
+    delta_stats = {}
+    resumed = []
     if n_promoted:
         enriched = alias.unionByName(promoted)
+        # O(delta) re-link (guackg/enrich.py): only the promoted
+        # surfaces' links change, the graph is patched exactly (stale
+        # fallback identities retracted), and lineage is stamped under
+        # the enriched dictionary — the round-3 full link→materialize
+        # recompute is gone (root_package.go:127-184 anti-join
+        # semantics: re-process only what lacks fresh results)
+        from guackg.enrich import apply_promotions
+        delta_stats = apply_promotions(
+            spark, args.workdir, promoted, enriched,
+            assertions=assertions, input_fingerprint=input_fp)
+        # proof of re-entrancy: a full pipeline invocation with the
+        # enriched dictionary now resumes EVERY stage from lineage
         pipe2 = KGPipeline(spark, args.workdir)
         out = pipe2.run(pages, enriched, assertions,
                         input_fingerprint=input_fp)
-        resumed = [s for s in ("extract", "triples")
+        resumed = [s for s in
+                   ("extract", "triples", "link", "canonicalize",
+                    "materialize")
                    if s not in pipe2.stage_secs]
-    else:
-        resumed = []
 
     print(json.dumps({
         "candidates": n_candidates,
@@ -93,6 +110,7 @@ def main() -> None:
         "stages_resumed": resumed,
         "first_pass_sec": round(t_first - t0, 2),
         "enrich_pass_sec": round(time.time() - t_first, 2),
+        **{f"delta_{k}": v for k, v in delta_stats.items()},
     }))
     spark.stop()
 

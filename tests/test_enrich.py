@@ -1,0 +1,139 @@
+"""O(delta) enrichment re-link (guackg/enrich.py) — the §3.3
+certifier-loop analog patched in place. The strongest possible oracle:
+after `apply_promotions`, the workdir's graph tables must EQUAL a
+from-scratch pipeline run with the enriched dictionary, row for row —
+including retraction of the stale `ent:guac/…` fallback identities
+(round-3 advice #3) and exact n_evidence/match_level on rekeyed
+edges."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from guackg import io as gio
+from guackg.enrich import apply_promotions
+from guackg.pipeline import KGPipeline
+
+
+def _graph_sets(spark, wd):
+    nodes = {tuple(r) for r in
+             gio.read_table(spark, os.path.join(wd, "nodes"))
+             .select("canonical_key", "kind").collect()}
+    edges = {tuple(r) for r in
+             gio.read_table(spark, os.path.join(wd, "edges"))
+             .select("subj_key", "pred", "obj_key", "n_evidence",
+                     "first_seen", "last_seen", "match_level").collect()}
+    return nodes, edges
+
+
+def test_apply_promotions_delta_equals_full(spark, corpus, pages_df,
+                                            alias_df, assertions_df,
+                                            tmp_path):
+    # build with a REDUCED dictionary: 8 alias surfaces that actually
+    # OCCUR in the corpus withheld, so their mentions fall back to
+    # synthesized ent:guac/ identities
+    from guackg.vocab import normalize_surface
+    g = corpus["golden_triples"]
+    occ = {normalize_surface(s)
+           for s in set(g["subj_surface"]) | set(g["obj_surface"])}
+    ad = corpus["alias_dict"]
+    # withhold EVERY surface of 4 occurring entities — leaving a
+    # sibling alias in place would let the LSH tier resolve the
+    # mention (correctly!) and no fallback identity would appear
+    ents = sorted(set(ad[ad["surface"].isin(occ)]["canonical_key"]))[:4]
+    removed = sorted(ad[ad["canonical_key"].isin(ents)]["surface"])
+    assert removed
+    reduced = alias_df.filter(~F.col("surface").isin(removed))
+    wd = str(tmp_path / "delta")
+    pipe = KGPipeline(spark, wd)
+    out1 = pipe.run(pages_df, reduced, assertions_df,
+                    input_fingerprint="enr")
+
+    # promotion batch: the withheld entries (surface → REAL canonical
+    # key: exercises remap + retraction) plus the top unresolved
+    # candidates under their own synthesized keys (same-key tier
+    # upgrade: exercises match_level-only patching)
+    cand = out1["identifier_candidates"]
+    upgraded = (cand.filter(~F.col("norm").isin(removed))
+                .orderBy(F.desc("n_mentions"), "norm").limit(5)
+                .select(F.col("norm").alias("surface"),
+                        F.col("suggested_key").alias("canonical_key"),
+                        F.lit("candidate").alias("kind")))
+    # promote only the withheld surfaces that actually FELL BACK (an
+    # LSH hit on a near-identical cross-entity alias is possible and
+    # is not a candidate — production promotions come from the
+    # candidate queue, which is fallback-only by construction)
+    fellback = {r["norm"] for r in
+                gio.read_table(spark, os.path.join(wd, "link"))
+                .filter(F.col("method") == "fallback")
+                .select("norm").collect()}
+    real_promos = [s for s in removed if s in fellback]
+    assert real_promos, "no withheld surface fell back"
+    promoted = alias_df.filter(F.col("surface").isin(real_promos)) \
+        .unionByName(upgraded).localCheckpoint()
+    enriched = reduced.unionByName(promoted)
+
+    stats = apply_promotions(spark, wd, promoted, enriched,
+                             assertions=assertions_df,
+                             input_fingerprint="enr")
+    assert stats["changed_links"] >= 1
+    assert stats["remapped_keys"] >= 1
+
+    # the oracle: a from-scratch run with the enriched dictionary
+    wf = str(tmp_path / "full")
+    KGPipeline(spark, wf).run(pages_df, enriched, assertions_df,
+                              input_fingerprint="enr")
+    dn, de = _graph_sets(spark, wd)
+    fn, fe = _graph_sets(spark, wf)
+
+    # the delta rule is EXACT for the dict tier; the one documented
+    # deviation (guackg/enrich.py) is new FUZZY matches the grown
+    # dictionary enables for other unresolved norms — those are
+    # deferred to the next full ingest. So: links may differ only on
+    # norms whose method changed to/from 'lsh', never on a promoted
+    # surface, and every graph diff must trace to such a norm's keys.
+    def _links(w):
+        return {r["norm"]: (r["canonical_key"], r["method"]) for r in
+                gio.read_table(spark, os.path.join(w, "link")).collect()}
+    dl, fl = _links(wd), _links(wf)
+    promo_surfaces = {r["surface"] for r in promoted.collect()}
+    diff_norms = {n for n in set(dl) | set(fl) if dl.get(n) != fl.get(n)}
+    assert not diff_norms & promo_surfaces, \
+        "a promoted surface resolved differently in the delta path"
+    for n in diff_norms:
+        assert "lsh" in (dl.get(n, (None, None))[1],
+                         fl.get(n, (None, None))[1]), \
+            f"non-fuzzy link divergence on {n!r}: {dl.get(n)} vs {fl.get(n)}"
+    allowed = {k for n in diff_norms
+               for k in (dl.get(n, (None,))[0], fl.get(n, (None,))[0],
+                         f"ent:guac/{n}", f"sfc:{n}") if k}
+    node_diff = {k for k, _ in dn ^ fn}
+    assert node_diff <= allowed, (
+        f"node diff beyond fuzzy cross-talk: {sorted(node_diff - allowed)[:5]}")
+    edge_diff = de ^ fe
+    assert all(e[0] in allowed or e[2] in allowed for e in edge_diff), (
+        f"edge diff beyond fuzzy cross-talk: "
+        f"{[e for e in edge_diff if e[0] not in allowed and e[2] not in allowed][:5]}")
+
+    # retraction explicit (advice #3): no stale fallback identity for
+    # a promoted-to-real-key surface survives anywhere
+    stale = {f"ent:guac/{s}" for s in removed}
+    assert not {k for k, _ in dn} & stale
+    assert not {e[0] for e in de} & stale and \
+        not {e[2] for e in de} & stale
+
+    # re-entrancy: a full pipeline invocation with the enriched dict
+    # now resumes EVERY stage from the delta-stamped lineage
+    pipe2 = KGPipeline(spark, wd)
+    out2 = pipe2.run(pages_df, enriched, assertions_df,
+                     input_fingerprint="enr")
+    assert pipe2.stage_secs == {}, \
+        f"stages recomputed after delta: {pipe2.stage_secs}"
+    assert out2["edges"].count() == len(de)
+
+    # guard: patching a workdir built from a different corpus refuses
+    with pytest.raises(ValueError, match="full re-ingest"):
+        apply_promotions(spark, wd, promoted, enriched,
+                         assertions=assertions_df,
+                         input_fingerprint="other-corpus")

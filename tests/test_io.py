@@ -194,3 +194,106 @@ def test_compact_table_unpartitioned_keeps_marker(spark, tmp_path):
     assert stats["dirs_compacted"] == 1 and stats["files_after"] == 1
     assert gio.table_exists(table)
     assert spark.read.parquet(table).count() == 100
+
+
+def test_compact_residue_invisible_and_swept(spark, base):
+    """A compaction tmp dir left by a crash must (a) be invisible to
+    partition discovery — it is '_'-prefixed, so a read returns the
+    original rows, never duplicates — and (b) be reclaimed by the next
+    compact_table run (round-3 advice #4)."""
+    table, _ = base
+    before = sorted((r.k, r.pred, r.v) for r in
+                    spark.read.parquet(table).collect())
+    # plant crash residue: a half-written compaction tmp beside a leaf
+    leaf_parent = os.path.join(table, "pred=alpha")
+    residue = os.path.join(leaf_parent, "_compact_tmp_deadbeef")
+    some_leaf = next(os.path.join(leaf_parent, d)
+                     for d in os.listdir(leaf_parent)
+                     if d.startswith("bucket="))
+    import shutil
+    shutil.copytree(some_leaf, residue)
+    after = sorted((r.k, r.pred, r.v) for r in
+                   spark.read.parquet(table).collect())
+    assert after == before, "residue leaked into partition discovery"
+    gio.compact_table(spark, table, partition_by=["pred", "bucket"])
+    assert not os.path.exists(residue), "stale residue not swept"
+    assert sorted((r.k, r.pred, r.v) for r in
+                  spark.read.parquet(table).collect()) == before
+
+
+def test_merge_commit_abort_leaves_table_untouched(spark, tmp_path):
+    """Failure side of the ordered-commit contract: when the gate
+    owner sets commit_abort before releasing the gate (nodes merge
+    failed), the gated merge must raise and leave the target table
+    byte-identical — never commit edges over missing nodes (round-3
+    advice #2)."""
+    import threading
+    table = str(tmp_path / "gated")
+    rows = [(f"k{i}", ["alpha", "beta"][i % 2], i) for i in range(50)]
+    df = _bucketed(spark.createDataFrame(rows, "k string, pred string, v int"))
+    gio.merge_upsert(spark, df, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"])
+    snap = _snapshot(table)
+    gate, abort = threading.Event(), threading.Event()
+    abort.set()
+    gate.set()
+    delta = _bucketed(spark.createDataFrame(
+        [("k1", "alpha", 999), ("new", "beta", 1000)],
+        "k string, pred string, v int"))
+    with pytest.raises(RuntimeError, match="commit aborted"):
+        gio.merge_upsert(spark, delta, table, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"],
+                         commit_gate=gate, commit_abort=abort)
+    assert _snapshot(table) == snap, "aborted merge mutated the table"
+    # no tmp residue either
+    parent = os.path.dirname(table)
+    assert not [d for d in os.listdir(parent) if "__tmp__" in d]
+    # first-write path aborts too (table absent)
+    fresh = str(tmp_path / "gated_fresh")
+    with pytest.raises(RuntimeError, match="commit aborted"):
+        gio.merge_upsert(spark, delta, fresh, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"],
+                         commit_gate=gate, commit_abort=abort)
+    assert not gio.table_exists(fresh)
+
+
+def test_merge_delete_keys_retraction(spark, base):
+    """delete_keys = the MERGE … WHEN MATCHED DELETE analog: matched
+    old rows are dropped, delete+reinsert behaves as replace, pruning
+    still holds for untouched partitions, and a partition emptied
+    entirely by deletes disappears."""
+    table, df = base
+    all_rows = {(r.k, r.pred, r.v)
+                for r in spark.read.parquet(table).collect()}
+    before = _snapshot(table)
+
+    # retract two keys from pred=alpha, re-insert one with a new value
+    dropped = _bucketed(spark.createDataFrame(
+        [("k0", "alpha", 0), ("k2", "alpha", 0)],
+        "k string, pred string, v int"))
+    reins = _bucketed(spark.createDataFrame(
+        [("k2", "alpha", 777)], "k string, pred string, v int"))
+    gio.merge_upsert(spark, reins, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"],
+                     delete_keys=dropped)
+    got = {(r.k, r.pred, r.v) for r in spark.read.parquet(table).collect()}
+    want = {t for t in all_rows if t[0] not in ("k0", "k2")} | \
+        {("k2", "alpha", 777)}
+    assert got == want
+    # beta partitions untouched byte-for-byte (delete touched alpha only)
+    after = _snapshot(table)
+    for leaf, files in before.items():
+        if leaf.startswith("pred=beta"):
+            assert after[leaf] == files, f"{leaf} rewritten"
+
+    # empty-the-partition case: delete every beta row, insert nothing
+    beta = _bucketed(spark.createDataFrame(
+        [(f"k{i}", "beta", i) for i in range(1, 200, 2)],
+        "k string, pred string, v int"))
+    none = spark.createDataFrame([], beta.schema)
+    gio.merge_upsert(spark, none, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"], delete_keys=beta)
+    left = {(r.k, r.pred, r.v) for r in spark.read.parquet(table).collect()}
+    assert left == {t for t in want if t[1] != "beta"}
+    assert not os.path.exists(os.path.join(table, "pred=beta")) or \
+        not any("=" in d for d in os.listdir(os.path.join(table, "pred=beta")))

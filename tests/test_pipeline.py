@@ -306,3 +306,37 @@ def test_enriched_dict_invalidates_link_stage(spark, pages_df, alias_df,
     assert "link" in pipe2.stage_secs
     assert out2["links"].filter(F.col("method") == "fallback").count() == 0
     assert out2["identifier_candidates"].count() == 0
+
+
+def test_nodes_merge_failure_aborts_edges_commit(spark, pages_df,
+                                                 alias_df, assertions_df,
+                                                 tmp_path, monkeypatch):
+    """Round-3 advice #2: the nodes-before-edges visibility invariant
+    must hold on the FAILURE path. With concurrent side stages forced
+    on, a failing nodes merge sets the abort before releasing the
+    commit gate, so the edges swap never commits, the run raises, and
+    no graph_merge lineage is recorded — a resume redoes both merges
+    instead of serving edges without their nodes."""
+    import guackg.pipeline as P
+
+    def _boom(*a, **kw):
+        raise RuntimeError("synthetic nodes failure")
+
+    monkeypatch.setattr(P, "build_nodes", _boom)
+    monkeypatch.setenv("GUACKG_SYNC_STAGES", "0")  # force async threads
+    wd = str(tmp_path / "abortwd")
+    pipe = P.KGPipeline(spark, wd)
+    with pytest.raises(RuntimeError):
+        pipe.run(pages_df, alias_df, assertions_df,
+                 input_fingerprint="abort-test")
+    assert not os.path.exists(os.path.join(wd, "nodes", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(wd, "edges", "_SUCCESS")), \
+        "edges committed despite nodes failure"
+    assert not pipe.lineage.completed(
+        "graph_merge", "anything"), "graph_merge lineage recorded"
+    # and the run is recoverable: un-patch and resume to completion
+    monkeypatch.setattr(P, "build_nodes", __import__(
+        "guackg.materialize", fromlist=["build_nodes"]).build_nodes)
+    out = P.KGPipeline(spark, wd).run(pages_df, alias_df, assertions_df,
+                                      input_fingerprint="abort-test")
+    assert out["edges"].count() > 0 and out["nodes"].count() > 0
