@@ -25,6 +25,46 @@ from guackg.extract import extract, split_quarantine
 from guackg.triples import extract_triples
 
 
+def _reader(spark: SparkSession, source_spec: dict):
+    """THE message-bus seam: every streaming entry point builds its
+    source through this one function, so swapping the file source for
+    a broker at deploy time is a one-line spec change with the whole
+    downstream graph (extract → triples → sinks) unchanged and
+    test-covered.
+
+    source_spec keys:
+      format   — "parquet" (default; this sandbox ships no broker) or
+                 any readStream format, e.g. "kafka"
+      path     — source directory (file formats)
+      schema   — StructType for file sources (required by readStream)
+      max_files_per_trigger — bounded micro-batches (S4 queue-consumer
+                 mode; the Kafka analog is maxOffsetsPerTrigger)
+      options  — extra reader options, passed through verbatim
+
+    The reference's S3 collector consumes one SQS/Kafka message per
+    object (/root/reference/pkg/handler/collector/s3/s3.go:172-262);
+    its Spark shape is
+        {"format": "kafka", "options": {"kafka.bootstrap.servers": …,
+         "subscribe": "DOCUMENTS.collected",
+         "maxOffsetsPerTrigger": …}}
+    followed by the same transformations (the Kafka `value` column is
+    the blob, exactly like `html`)."""
+    spec = dict(source_spec)
+    fmt = spec.get("format", "parquet")
+    r = spark.readStream
+    if spec.get("schema") is not None:
+        r = r.schema(spec["schema"])
+    if spec.get("max_files_per_trigger") is not None:
+        r = r.option("maxFilesPerTrigger", spec["max_files_per_trigger"])
+    for k, v in spec.get("options", {}).items():
+        r = r.option(k, v)
+    if fmt == "parquet":
+        return r.parquet(spec["path"])
+    if spec.get("path"):
+        return r.format(fmt).load(spec["path"])
+    return r.format(fmt).load()
+
+
 def stream_pages_to_triples(
     spark: SparkSession,
     pages_dir: str,
@@ -32,6 +72,7 @@ def stream_pages_to_triples(
     checkpoint_dir: str | None = None,
     schema=None,
     max_files_per_trigger: int | None = None,
+    source_spec: dict | None = None,
 ):
     """Incremental pages → triples stream. Returns the StreamingQuery
     (caller awaits termination; AvailableNow stops at end of input).
@@ -47,10 +88,9 @@ def stream_pages_to_triples(
         schema = spark.read.parquet(pages_dir).schema
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(pages_dir)
+    stream = _reader(spark, source_spec or {
+        "format": "parquet", "path": pages_dir, "schema": schema,
+        "max_files_per_trigger": max_files_per_trigger})
     ok, _bad = split_quarantine(extract(stream))
     triples = extract_triples(
         ok.select("url", "warc_ts", "lang", "extracted_text"))
@@ -87,7 +127,8 @@ def stream_windowed_mention_counts(
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_wm_checkpoint")
 
     from pyspark.sql import functions as F
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = _reader(spark, {"format": "parquet", "path": events_dir,
+                             "schema": schema})
     # watermarks require TIMESTAMP (with tz); NTZ sources cast through
     # the UTC session zone losslessly
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -152,10 +193,10 @@ def stream_stateful_sessions(
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_ss_checkpoint")
     gap_us = gap_minutes * 60 * 1_000_000
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = (reader.parquet(events_dir)
+    stream = _reader(spark, {"format": "parquet", "path": events_dir,
+                             "schema": schema,
+                             "max_files_per_trigger": max_files_per_trigger})
+    stream = (stream
               .withColumn("ts", F.col("ts").cast("timestamp"))
               .withWatermark("ts", watermark_delay)
               .select("user_id", "ts"))
@@ -228,6 +269,7 @@ def stream_triples_upsert(
     workdir: str,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    source_spec: dict | None = None,
 ):
     """Streaming ingest INTO the idempotent graph sink: each
     micro-batch of pages runs the extract→triples transformations and
@@ -257,10 +299,9 @@ def stream_triples_upsert(
                                                     "_up_checkpoint")
     table = os.path.join(workdir, "triples_upsert")
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(pages_dir)
+    stream = _reader(spark, source_spec or {
+        "format": "parquet", "path": pages_dir, "schema": schema,
+        "max_files_per_trigger": max_files_per_trigger})
     ok, _bad = split_quarantine(extract(stream))
     triples = extract_triples(
         ok.select("url", "warc_ts", "lang", "extracted_text"))

@@ -32,6 +32,12 @@ def main() -> None:
                     help="parquet dir, or synthetic:N to generate N pages")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--stages", default=",".join(STAGES))
+    ap.add_argument("--compact", action="store_true",
+                    help="run small-file compaction on the graph "
+                         "tables after the merge (the Iceberg "
+                         "rewrite_data_files maintenance step, folded "
+                         "into the ingest lifecycle; byte-stable for "
+                         "already-compact partitions)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -62,6 +68,16 @@ def main() -> None:
                    input_fingerprint=input_fp)
 
     summary = {"stages": list(stages), "elapsed_sec": round(time.time() - t0, 2)}
+    if args.compact and "edges" in out:
+        from guackg.io import compact_table
+        summary["compact"] = {
+            "nodes": compact_table(spark, os.path.join(args.workdir,
+                                                       "nodes"),
+                                   partition_by=["kind"]),
+            "edges": compact_table(spark, os.path.join(args.workdir,
+                                                       "edges"),
+                                   partition_by=["pred", "bucket"]),
+        }
     for name in ("triples", "links", "components", "nodes", "edges"):
         if name in out:
             summary[f"{name}_rows"] = out[name].count()

@@ -340,3 +340,76 @@ def test_nodes_merge_failure_aborts_edges_commit(spark, pages_df,
     out = P.KGPipeline(spark, wd).run(pages_df, alias_df, assertions_df,
                                       input_fingerprint="abort-test")
     assert out["edges"].count() > 0 and out["nodes"].count() > 0
+
+
+def test_compaction_in_ingest_lifecycle(spark, pages_df, alias_df,
+                                        assertions_df, tmp_path_factory):
+    """Round-3 verdict task #6: compaction folded into the ingest
+    lifecycle. After batch A, compact the graph tables (the Iceberg
+    rewrite_data_files analog run off the hot path), then merge a tiny
+    batch C: rows are unchanged by compaction, the merge's partition
+    pruning still holds on the COMPACTED layout (leaves outside C's
+    delta stay byte-identical), and the final graph equals an
+    uncompacted workdir's."""
+    import hashlib
+    from guackg.io import compact_table
+
+    a = pages_df.limit(150)
+    c = pages_df.subtract(a).limit(3)
+
+    def edges_leaves(wd):
+        table = os.path.join(wd, "edges")
+        snap = {}
+        for root, _dirs, files in os.walk(table):
+            rel = os.path.relpath(root, table)
+            if "bucket=" not in rel:
+                continue
+            snap[rel] = {
+                f: hashlib.sha256(
+                    open(os.path.join(root, f), "rb").read()).hexdigest()
+                for f in files}
+        return snap
+
+    def edge_rows(wd):
+        return {(r.subj_key, r.pred, r.obj_key, r.n_evidence) for r in
+                spark.read.parquet(os.path.join(wd, "edges"))
+                .select("subj_key", "pred", "obj_key", "n_evidence")
+                .collect()}
+
+    wd = str(tmp_path_factory.mktemp("kgcompact"))
+    KGPipeline(spark, wd).run(a, alias_df, assertions_df,
+                              input_fingerprint="batch-a")
+    rows_a = edge_rows(wd)
+    stats = compact_table(spark, os.path.join(wd, "edges"),
+                          partition_by=["pred", "bucket"],
+                          small_file_bytes=256 * 1024 * 1024)
+    compact_table(spark, os.path.join(wd, "nodes"),
+                  partition_by=["kind"],
+                  small_file_bytes=256 * 1024 * 1024)
+    assert edge_rows(wd) == rows_a, "compaction changed rows"
+
+    # expected delta tuples = the leaves a C-only first write produces
+    wd_c = str(tmp_path_factory.mktemp("kgcompact_conly"))
+    KGPipeline(spark, wd_c).run(c, alias_df, assertions_df,
+                                input_fingerprint="batch-c")
+    c_tuples = set(edges_leaves(wd_c))
+
+    snap_before = edges_leaves(wd)
+    KGPipeline(spark, wd).run(c, alias_df, assertions_df,
+                              input_fingerprint="batch-c")
+    snap_after = edges_leaves(wd)
+    untouched = [d for d in snap_before if d not in c_tuples]
+    assert untouched, "expected compacted buckets outside the delta"
+    for d in untouched:
+        assert snap_after[d] == snap_before[d], \
+            f"compacted leaf {d} rewritten by an unrelated delta"
+
+    # uncompacted control: same batches, no maintenance pass
+    wd2 = str(tmp_path_factory.mktemp("kgnocompact"))
+    KGPipeline(spark, wd2).run(a, alias_df, assertions_df,
+                               input_fingerprint="batch-a")
+    KGPipeline(spark, wd2).run(c, alias_df, assertions_df,
+                               input_fingerprint="batch-c")
+    assert edge_rows(wd) == edge_rows(wd2)
+    if stats["dirs_compacted"]:
+        assert stats["files_after"] < stats["files_before"]
