@@ -101,18 +101,34 @@ def main() -> None:
         pages = spark.read.parquet(pages_path)
         n_input = pages.count()
 
-        t0 = time.time()
-        pipe = KGPipeline(spark, workdir)
-        out = pipe.run(pages, alias, assertions,
-                       input_fingerprint=f"bench:{n_pages}")
-        # row counts from the pipeline's own lineage records (parquet
-        # footer metadata, already read during the merge commits — the
-        # Iceberg snapshot-summary analog). Re-scanning two tables just
-        # to count them would bench the counter, not the pipeline.
-        n_triples = pipe.lineage.read("triples")["total_rows"]
-        n_edges = pipe.lineage.read("graph_merge")["total_rows"]
-        elapsed = time.time() - t0
-        stage_secs = dict(pipe.stage_secs)
+        # Sampling discipline (round-3 lesson: this sandbox's run-to-
+        # run variance is ±30-55% under host throttling, so a single
+        # timing proves nothing): the pipeline runs N times in fresh
+        # workdirs and the BEST run is the record, with every raw run
+        # disclosed — the same per-config-min rule the scaling bench
+        # uses. Scaling repeats (GUACKG_BENCH_PIPELINE_REPEATS=1) keep
+        # the old single-run behavior since scaling_bench interleaves
+        # its own repeats.
+        repeats = int(os.environ.get("GUACKG_BENCH_PIPELINE_REPEATS", "2"))
+        runs: list[float] = []
+        elapsed, stage_secs, n_triples, n_edges = None, {}, 0, 0
+        for i in range(max(repeats, 1)):
+            run_dir = os.path.join(workdir, f"run{i}")
+            t0 = time.time()
+            pipe = KGPipeline(spark, run_dir)
+            pipe.run(pages, alias, assertions,
+                     input_fingerprint=f"bench:{n_pages}")
+            dt = time.time() - t0
+            runs.append(round(dt, 3))
+            if elapsed is None or dt < elapsed:
+                elapsed = dt
+                stage_secs = dict(pipe.stage_secs)
+                # row counts from the pipeline's own lineage records
+                # (parquet footer metadata, already read during the
+                # merge commits — the Iceberg snapshot-summary analog)
+                n_triples = pipe.lineage.read("triples")["total_rows"]
+                n_edges = pipe.lineage.read("graph_merge")["total_rows"]
+            shutil.rmtree(run_dir, ignore_errors=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -127,11 +143,21 @@ def main() -> None:
                 "ann_cosine_topk"]
     if os.environ.get("GUACKG_BENCH_QUERIES", "1") == "0":
         headline = []
+    # per-query min over ≥3 runs (round-3 verdict task #8: single-shot
+    # query timings are unusable for regression judgment on a ±30-55%
+    # host); raw runs disclosed in queries_all
+    q_reps = int(os.environ.get("GUACKG_BENCH_QUERY_REPEATS", "3"))
     q_secs: dict[str, float] = {}
+    q_all: dict[str, list[float]] = {}
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        q_secs[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(max(q_reps, 1)):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            times.append(round(time.time() - t0, 3))
+        q_all[name] = times
+        q_secs[name] = min(times)
     q_secs["kg_pipeline_e2e"] = round(elapsed, 3)
 
     print(json.dumps({
@@ -146,6 +172,8 @@ def main() -> None:
         "pages_per_sec": round(n_input / elapsed, 1),
         "cpus": cpus,
         "stage_secs": stage_secs,
+        "pipeline_runs_sec": runs,
+        "queries_all": q_all,
     }))
     spark.stop()
 

@@ -82,6 +82,10 @@ def main() -> None:
 
     os.environ["GUACKG_BENCH_QUERIES"] = "0"  # only the pipeline feeds
     # the efficiency metric; query timings come from the plain bench
+    # one pipeline run per bench invocation — THIS script owns the
+    # repeat/interleave discipline (bench.py's internal best-of-N
+    # would hide the per-leg variance the report discloses)
+    os.environ["GUACKG_BENCH_PIPELINE_REPEATS"] = "1"
     runs: dict[int, list[dict]] = {n_small: [], n_big: []}
     # interleave configs (small legs spread evenly through the big
     # legs) so slow host phases hit both configurations

@@ -70,3 +70,29 @@ def test_union_constraints(spark):
     # an unparseable branch never matches; the good branch still does
     got2 = _join(spark, ["garbage || =1.2.3"], ["1.2.3", "1.2.4"])
     assert got2["garbage || =1.2.3"] == {"1.2.3"}
+
+
+def test_version_gate_edges_rules(spark):
+    """The traversal gate (patchPlanning.go:247 DoesRangeInclude):
+    null constraint always passes; unparseable constraint or version
+    never silently matches; unions pass on any branch; missing node
+    version fails closed."""
+    from pyspark.sql import functions as F
+    from guackg.ops.version import version_gate_edges
+
+    e = spark.createDataFrame(
+        [("a", "d", "v1", None),          # free edge: always passes
+         ("a", "d", "v1", "^1.0.0"),      # in range
+         ("a", "d", "v2", "^1.0.0"),      # out of range
+         ("a", "d", "v3", ">=0.0.0"),     # dst version unparseable
+         ("a", "d", "v4", ">=0.0.0"),     # dst not in node_versions
+         ("a", "d", "v1", "junk"),        # unparseable constraint
+         ("a", "d", "v2", "=9.9.9 || ^2.0.0")],  # union, 2nd branch
+        "subj_key string, pred string, obj_key string, constraint string")
+    vers = spark.createDataFrame(
+        [("v1", "1.2.0"), ("v2", "2.3.4"), ("v3", "not-a-version")],
+        "key string, version string")
+    got = {(r.obj_key, r.constraint)
+           for r in version_gate_edges(e, vers).collect()}
+    assert got == {("v1", None), ("v1", "^1.0.0"),
+                   ("v2", "=9.9.9 || ^2.0.0")}
