@@ -170,9 +170,17 @@ batches for heavy blob rows (4096-row batches measured 7× slower at
 32 tasks — G1 humongous allocations), unix-domain worker sockets,
 RAM-disk shuffle dirs, capped GC threads."""
 
+    # BENCH/NOTES.md carries hand-written records (e.g. the round-4
+    # local[32] reconciliation) that must survive regeneration
+    notes_path = os.path.join(REPO, "BENCH", "NOTES.md")
+    notes = ""
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            notes = f.read().strip() + "\n\n"
+
     md = f"""# BENCH/BASELINE — measured numbers (guackg)
 
-Generated {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())} in
+{notes}Generated {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())} in
 {mode_desc}; same machine, same input ({r0['pages']} synthetic webtext
 pages, ~6-16 KB extracted text each, at SF={r0['sf']}).
 {rep_small} runs at N and {rep_big} at 4N, interleaved; the headline
