@@ -1727,17 +1727,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
             ORDER BY query_id, rank
         """,
+        # full IVF replay: the codebook rule is md5-based PRECISELY so
+        # every SQL engine derives the identical centroid set — the
+        # whole index (codebook → list assignment → probe set →
+        # re-rank) is oracle-checked end-to-end, not just the returned
+        # cosines (similarity.py::ivf_cosine_topk, k=5, K=64, probe=8)
+        "ann_ivf_cosine_topk": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS ve
+                FROM embeddings
+            ),
+            cents AS (
+                SELECT vec_id AS list_id, ve AS ce
+                FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT 64
+            ),
+            assigned AS (
+                SELECT vec_id, ve, list_id FROM (
+                    SELECT e.vec_id, e.ve, c.list_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.ve, c.ce)
+                                        DESC, c.list_id) AS rn
+                    FROM e CROSS JOIN cents c) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, ve AS qe
+                  FROM e WHERE vec_id < 5),
+            probes AS (
+                SELECT query_id, qe, list_id FROM (
+                    SELECT q.query_id, q.qe, c.list_id,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qe, c.ce)
+                                        DESC, c.list_id) AS rn
+                    FROM q CROSS JOIN cents c) WHERE rn <= 8
+            ),
+            scored AS (
+                SELECT p.query_id, a.vec_id,
+                       round(list_cosine_similarity(p.qe, a.ve), 6)
+                           AS cosine
+                FROM probes p JOIN assigned a USING (list_id)
+                WHERE p.query_id <> a.vec_id
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS INT) AS rank
+                FROM scored) WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
         # no oracle (not SQL-expressible, rows-only check):
         #   dedup_minhash_lsh_pairs, dedup_simhash_pairs,
-        #   ann_lsh_cosine_topk, ann_ivf_cosine_topk,
-        #   emb_near_dup_lsh_pairs — probabilistic candidate
-        #   generation (xxhash64 / hyperplane signs are not
-        #   reproducible in DuckDB). Their CORRECTNESS is gated by the
-        #   oracle-backed containment/exactness entries above
+        #   ann_lsh_cosine_topk, emb_near_dup_lsh_pairs (all in
+        #   ungated_queries()) — probabilistic candidate generation
+        #   (xxhash64 / hyperplane signs are not reproducible in
+        #   DuckDB). Their CORRECTNESS is gated by the oracle-backed
+        #   containment/exactness entries above
         #   (dedup_minhash_containment, dedup_simhash_exactness,
-        #   emb_lsh_containment, ann_lsh_containment,
-        #   ann_ivf_containment: violations vs the exact ops == empty
-        #   relation — the ANN gates check every returned cosine VALUE
-        #   against the exhaustive exact scoring) plus pytest recall
-        #   bounds (tests/test_ops.py).
+        #   emb_lsh_containment, ann_lsh_containment: violations vs
+        #   the exact ops == empty relation — the ANN gates check
+        #   every returned cosine VALUE against the exhaustive exact
+        #   scoring) plus pytest recall bounds (tests/test_ops.py).
     }

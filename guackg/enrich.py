@@ -32,6 +32,14 @@ Pipeline of the delta pass (`apply_promotions`):
    so a subsequent `KGPipeline.run` with the same corpus + enriched
    dictionary resumes every stage.
 
+Crash safety: the delta (changed links + key remap) is JOURNALED to
+`_enrich_pending/` BEFORE the first table mutation — the Iceberg
+analog of staging a transaction's data files before the metadata
+swap. A re-run after a mid-patch crash cannot recompute the delta
+(the links table may already carry the promoted rows), so it resumes
+from the journal; every mutation is idempotent given that delta, and
+the journal is retired only after lineage is stamped.
+
 Deliberate deviation, documented: the fuzzy (LSH) tier is not
 re-evaluated against the new dictionary entries (dict outranks lsh;
 the next batch's ingest re-links its vocabulary in full — the same
@@ -108,49 +116,102 @@ def apply_promotions(
     asrt_fp = "none" if assertions is None else \
         _content_fp(assertions, ["key_a", "key_b"])
 
-    # materialize the pre-patch snapshots eagerly: both tables are
-    # overwritten below, and a lazy read would chase deleted files
-    # (both are O(vocab)-sized)
-    links_old = gio.read_table(spark, out("link")).localCheckpoint()
-    comps_old = gio.read_table(spark, out("canonicalize")).localCheckpoint()
+    merge_fp = _fingerprint(fp_base, "graph_merge", dict_fp, asrt_fp,
+                            include_page_graph)
+    journal = os.path.join(workdir, "_enrich_pending")
+    stats = {"promotions": promoted.count()}
+    if os.path.exists(os.path.join(journal, "meta.json")):
+        # ---- crash recovery: a previous patch died AFTER journaling
+        # its delta but before finishing. The links table may already
+        # carry the promoted rows (so relink_fallbacks would find
+        # nothing), therefore the journal — written before any table
+        # mutation — is the authoritative delta; every write below is
+        # idempotent, so replaying it completes the patch.
+        import json as _json
+        with open(os.path.join(journal, "meta.json")) as f:
+            meta = _json.load(f)
+        if meta["merge_fp"] != merge_fp:
+            raise ValueError(
+                "a different promotion batch died mid-patch "
+                f"(journal {meta['merge_fp']!r} vs {merge_fp!r}); "
+                "finish or remove _enrich_pending first")
+        changed = spark.read.parquet(os.path.join(journal, "changed")) \
+            .localCheckpoint()
+        touched = spark.read.parquet(os.path.join(journal, "touched")) \
+            .localCheckpoint()
+        n_changed = changed.count()
+        stats["resumed_from_journal"] = True
+    else:
+        # materialize the pre-patch snapshots eagerly: both tables are
+        # overwritten below, and a lazy read would chase deleted files
+        # (both are O(vocab)-sized)
+        links_old = gio.read_table(spark, out("link")).localCheckpoint()
+        comps_old = gio.read_table(spark,
+                                   out("canonicalize")).localCheckpoint()
 
-    # ---- 1. delta link: O(promotions)
-    changed = relink_fallbacks(links_old, promoted).localCheckpoint()
-    n_changed = changed.count()
-    stats = {"promotions": promoted.count(), "changed_links": n_changed}
-    gio.merge_upsert(spark, changed, out("link"), keys=["norm"])
-    links_new = gio.read_table(spark, out("link"))
+        # ---- 1. delta link: O(promotions). Computed BEFORE any table
+        # mutation so the journal below captures the full delta.
+        changed = relink_fallbacks(links_old, promoted).localCheckpoint()
+        n_changed = changed.count()
+        if n_changed == 0:
+            # nothing will change — no mutation, no journal; stamp the
+            # enriched-dict lineage (the tables ARE the delta-rule
+            # outputs) and return
+            stats["changed_links"] = 0
+            stats["remapped_keys"] = 0
+            _record_lineage(spark, lineage, out, fp_base, dict_fp,
+                            asrt_fp, include_page_graph)
+            stats["elapsed_sec"] = round(time.time() - t0, 2)
+            return stats
 
-    # ---- 2. equivalence edges + CC: O(vocab)
-    equiv = equivalence_edges_from_links(links_new)
-    gio.write_table(equiv, out("equivalence_edges"))
-    equiv = gio.read_table(spark, out("equivalence_edges"))
-    cc_in = equiv.select("key_a", "key_b")
-    if assertions is not None:
-        cc_in = cc_in.unionByName(assertions.select("key_a", "key_b"))
-    comps_new = connected_components(cc_in)
-    gio.write_table(comps_new, out("canonicalize"))
-    comps_new = gio.read_table(spark, out("canonicalize"))
+        # ---- 2. the post-patch link/component state, computed
+        # logically (no writes yet): links_new = links_old with the
+        # changed rows substituted; CC over its equivalence edges
+        links_new_logical = (links_old.join(changed.select("norm"),
+                                            on="norm", how="left_anti")
+                             .unionByName(changed))
+        cc_in = equivalence_edges_from_links(links_new_logical) \
+            .select("key_a", "key_b")
+        if assertions is not None:
+            cc_in = cc_in.unionByName(assertions.select("key_a", "key_b"))
+        comps_new = connected_components(cc_in).localCheckpoint()
 
-    # ---- 3. key remap (old final key → new final key)
-    # (a) the changed norms: their old identity was the fallback key
-    # (canon-resolved under the OLD components), the new one is the
-    # promoted key canon-resolved under the NEW components
-    a = (changed.select("norm", F.col("canonical_key").alias("_nk"))
-         .join(links_old.select("norm",
-                                F.col("canonical_key").alias("_ok")),
-               on="norm"))
-    a = canonicalize_keys(a, "_ok", comps_old)
-    a = canonicalize_keys(a, "_nk", comps_new).select("_ok", "_nk")
-    # (b) members whose canon moved (components only merge when the
-    # dictionary grows ⇒ old-canon → new-canon is functional)
-    b = (comps_old.select("member_key", F.col("canon_key").alias("_ok"))
-         .join(comps_new.select("member_key",
-                                F.col("canon_key").alias("_nk")),
-               on="member_key")
-         .filter(F.col("_ok") != F.col("_nk"))
-         .select("_ok", "_nk"))
-    touched = a.unionByName(b).dropDuplicates(["_ok"]).localCheckpoint()
+        # ---- 3. key remap (old final key → new final key)
+        # (a) the changed norms: their old identity was the fallback
+        # key (canon-resolved under the OLD components), the new one
+        # is the promoted key canon-resolved under the NEW components
+        a = (changed.select("norm", F.col("canonical_key").alias("_nk"))
+             .join(links_old.select("norm",
+                                    F.col("canonical_key").alias("_ok")),
+                   on="norm"))
+        a = canonicalize_keys(a, "_ok", comps_old)
+        a = canonicalize_keys(a, "_nk", comps_new).select("_ok", "_nk")
+        # (b) members whose canon moved (components only merge when
+        # the dictionary grows ⇒ old-canon → new-canon is functional)
+        b = (comps_old.select("member_key",
+                              F.col("canon_key").alias("_ok"))
+             .join(comps_new.select("member_key",
+                                    F.col("canon_key").alias("_nk")),
+                   on="member_key")
+             .filter(F.col("_ok") != F.col("_nk"))
+             .select("_ok", "_nk"))
+        touched = a.unionByName(b).dropDuplicates(["_ok"]) \
+            .localCheckpoint()
+
+        # ---- journal the delta BEFORE the first table mutation: a
+        # crash anywhere past this point resumes from these rows
+        import json as _json
+        os.makedirs(journal, exist_ok=True)
+        changed.write.mode("overwrite") \
+            .parquet(os.path.join(journal, "changed"))
+        touched.write.mode("overwrite") \
+            .parquet(os.path.join(journal, "touched"))
+        tmp_meta = os.path.join(journal, "meta.json.tmp")
+        with open(tmp_meta, "w") as f:
+            _json.dump({"merge_fp": merge_fp}, f)
+        os.replace(tmp_meta, os.path.join(journal, "meta.json"))
+
+    stats["changed_links"] = n_changed
     # retraction applies only where the key actually MOVED; but the
     # affected-evidence set must cover ALL touched identities — a
     # promotion that keeps the fallback's own key (surface confirmed
@@ -162,13 +223,22 @@ def apply_promotions(
     both_keys = (touched.select(F.col("_ok").alias("k"))
                  .unionByName(new_keys).distinct())
     stats["remapped_keys"] = remap.count()
-    if n_changed == 0:
-        # nothing to patch — still stamp the enriched-dict lineage so
-        # downstream resumes (the tables ARE the delta-rule outputs)
-        _record_lineage(spark, lineage, out, fp_base, dict_fp, asrt_fp,
-                        include_page_graph)
-        stats["elapsed_sec"] = round(time.time() - t0, 2)
-        return stats
+
+    # ---- mutations begin (each idempotent given the journaled delta)
+    gio.merge_upsert(spark, changed, out("link"), keys=["norm"])
+    links_new = gio.read_table(spark, out("link"))
+    equiv = equivalence_edges_from_links(links_new)
+    gio.write_table(equiv, out("equivalence_edges"))
+    equiv = gio.read_table(spark, out("equivalence_edges"))
+    cc_in = equiv.select("key_a", "key_b")
+    if assertions is not None:
+        cc_in = cc_in.unionByName(assertions.select("key_a", "key_b"))
+    # recomputed from the POST-merge links table — identical to the
+    # pre-journal logical computation (CC is deterministic in its edge
+    # set), and the only correct source on a journal resume
+    comps_new = connected_components(cc_in)
+    gio.write_table(comps_new, out("canonicalize"))
+    comps_new = gio.read_table(spark, out("canonicalize"))
 
     # ---- 4. exact patch of the graph tables
     tr = gio.read_table(spark, out("materialize"))
@@ -250,6 +320,9 @@ def apply_promotions(
 
     _record_lineage(spark, lineage, out, fp_base, dict_fp, asrt_fp,
                     include_page_graph)
+    # patch fully committed + lineage stamped → retire the journal
+    import shutil
+    shutil.rmtree(journal, ignore_errors=True)
     stats["elapsed_sec"] = round(time.time() - t0, 2)
     return stats
 

@@ -189,18 +189,23 @@ def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
     orientations — the reference's Path BFS walks `Neighbors`, i.e.
     undirected adjacency (inmem/path.go:103-150 via neighborsFromId,
     both-ways adjacency built at path.go:57-101), so a src→dst pair
-    connected only against edge direction still has a path. The
-    default "out" keeps the directed search.
+    connected only against edge direction still has a path.
+    `direction="in"` walks only INCOMING edges (src reaches dst via
+    edges pointing at it — the reverse search). The default "out"
+    keeps the directed search.
 
     Parent choice is DETERMINISTIC: among the frontier keys that
     discover a node in the same round, the lexicographically smallest
     wins (min aggregate, not map-insert order) — so the returned path
     is a pure function of the graph, replayable by a SQL oracle."""
-    e = edges.select(F.col("subj_key").alias("src"),
-                     F.col("obj_key").alias("dst"))
-    if direction == "both":
-        e = e.unionByName(edges.select(F.col("obj_key").alias("src"),
-                                       F.col("subj_key").alias("dst")))
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    fwd = edges.select(F.col("subj_key").alias("src"),
+                       F.col("obj_key").alias("dst"))
+    rev = edges.select(F.col("obj_key").alias("src"),
+                       F.col("subj_key").alias("dst"))
+    e = {"out": fwd, "in": rev,
+         "both": fwd.unionByName(rev)}[direction]
     e = e.distinct().persist()
     e.count()
     spark = edges.sparkSession
@@ -268,16 +273,21 @@ def bfs_path_edges(edges: DataFrame, src_key: str, dst_key: str,
         "step int, subj_key string, obj_key string")
     prop_cols = ["pred", "n_evidence", "first_seen", "last_seen",
                  "match_level"]
-    cand = edges.select("subj_key", "obj_key", *prop_cols)
-    if direction == "both":
-        # an undirected hop a→b may exist only as the stored edge
-        # (b, pred, a): surface it under the TRAVERSAL orientation,
-        # keeping the edge's own properties
-        cand = cand.unionByName(
-            edges.select(F.col("obj_key").alias("subj_key"),
-                         F.col("subj_key").alias("obj_key"), *prop_cols))
+    fwd = edges.select("subj_key", "obj_key", *prop_cols)
+    # a hop traversed against storage orientation surfaces the stored
+    # edge (b, pred, a) under the TRAVERSAL orientation, keeping the
+    # edge's own properties
+    rev = edges.select(F.col("obj_key").alias("subj_key"),
+                       F.col("subj_key").alias("obj_key"), *prop_cols)
+    cand = {"out": fwd, "in": rev,
+            "both": fwd.unionByName(rev)}[direction]
     from pyspark.sql import Window
-    w = Window.partitionBy("step").orderBy("pred", "first_seen")
+    # full-tuple ordering: two stored orientations of an undirected
+    # hop can tie on (pred, first_seen) — the remaining property
+    # columns keep the pick deterministic
+    w = Window.partitionBy("step").orderBy(
+        "pred", "first_seen", "last_seen", F.desc("n_evidence"),
+        "match_level")
     out = (F.broadcast(hops).join(cand, on=["subj_key", "obj_key"])
            .withColumn("_rn", F.row_number().over(w))
            .filter(F.col("_rn") == 1)

@@ -260,11 +260,21 @@ def compact_table(spark: SparkSession, path: str,
     way table-format maintenance jobs are.
 
     Only leaf directories whose files are all under `small_file_bytes`
-    AND hold more than `target_files` files are rewritten (read →
-    coalesce → write tmp → atomic per-dir swap); everything else is
-    untouched — byte-stable, like merge_upsert's pruning contract.
-    Returns {dirs_compacted, files_before, files_after} so callers can
-    assert the no-op case."""
+    AND hold more than `target_files` files are rewritten; everything
+    else is untouched — byte-stable, like merge_upsert's pruning
+    contract. Returns {dirs_compacted, files_before, files_after} so
+    callers can assert the no-op case.
+
+    Crash safety (no window ever holds the ONLY copy of a leaf in a
+    deletable location): per leaf, the compacted data is written to a
+    root-level `_compact_tmp_<id>` helper ('_'-prefixed — invisible to
+    Spark's file index), the ORIGINALS are moved aside into
+    `_compact_old_<id>` (renames, never deletes), a `_commit` marker
+    flips the transaction, the compacted data moves into place, and
+    only then are the helpers removed. `_recover_compaction` at entry
+    rolls an interrupted pass BACK (no marker: originals restored)
+    or FORWARD (marker present: compacted data lands) — the
+    rewrite_data_files snapshot-commit protocol in directory form."""
     def _leaf_dirs(root: str, level: int) -> list[str]:
         if level == 0:
             return [root]
@@ -277,18 +287,7 @@ def compact_table(spark: SparkSession, path: str,
 
     levels = len(partition_by) if partition_by else 0
     stats = {"dirs_compacted": 0, "files_before": 0, "files_after": 0}
-    # sweep residue from a previously crashed compaction BEFORE
-    # touching anything: tmp dirs live beside partition dirs, so they
-    # carry a '_' prefix (Spark's file index skips '_'/'.' entries —
-    # residue is invisible to readers) and are safe to delete — the
-    # swap below is the last step, so a leftover tmp never holds the
-    # only copy of a leaf's rows.
-    for dirpath, dirnames, _files in os.walk(path):
-        for d in list(dirnames):
-            if d.startswith("_compact_tmp_"):
-                shutil.rmtree(os.path.join(dirpath, d),
-                              ignore_errors=True)
-                dirnames.remove(d)
+    _recover_compaction(path)
     for leaf in _leaf_dirs(path, levels):
         files = [os.path.join(leaf, f) for f in os.listdir(leaf)
                  if f.endswith(".parquet")]
@@ -297,24 +296,99 @@ def compact_table(spark: SparkSession, path: str,
                 any(os.path.getsize(f) >= small_file_bytes for f in files):
             stats["files_after"] += len(files)
             continue
-        # tmp is a SIBLING of the leaf but '_'-prefixed: Spark's
-        # partition discovery ignores '_'/'.' entries, so a crash
-        # between write and swap can never be parsed as a partition
-        # dir (duplicating the leaf) — and the sweep above reclaims it
-        tmp = os.path.join(os.path.dirname(leaf),
-                           f"_compact_tmp_{uuid.uuid4().hex[:8]}")
+        cid = uuid.uuid4().hex[:8]
+        tmp = os.path.join(path, f"_compact_tmp_{cid}")
+        old = os.path.join(path, f"_compact_old_{cid}")
+        rel = os.path.relpath(leaf, path)
+        dest = tmp if rel == "." else os.path.join(tmp, rel)
+        # 1) write the compacted copy into the helper
         spark.read.parquet(*files).coalesce(target_files) \
-            .write.mode("overwrite").parquet(tmp)
-        # leaf dirs of a PARTITIONED table carry data files only — the
-        # table-level _SUCCESS stays at the root. For an unpartitioned
-        # table the leaf IS the root, so the fresh marker is kept.
-        if leaf != path:
-            marker = os.path.join(tmp, "_SUCCESS")
-            if os.path.exists(marker):
-                os.remove(marker)
-        shutil.rmtree(leaf)
-        os.replace(tmp, leaf)
+            .write.mode("overwrite").parquet(dest)
+        marker = os.path.join(dest, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)  # the table root keeps its own marker
+        # 2) move the originals ASIDE (renames — the data always
+        # exists somewhere on disk)
+        if rel == ".":
+            os.makedirs(old, exist_ok=True)
+            for f in files:
+                os.rename(f, os.path.join(old, os.path.basename(f)))
+        else:
+            os.makedirs(os.path.dirname(os.path.join(old, rel)) or old,
+                        exist_ok=True)
+            os.rename(leaf, os.path.join(old, rel))
+        # 3) commit point, then land the compacted copy
+        open(os.path.join(tmp, "_commit"), "w").close()
+        _finish_compaction(path, tmp, old)
         stats["dirs_compacted"] += 1
         stats["files_after"] += len(
             [f for f in os.listdir(leaf) if f.endswith(".parquet")])
     return stats
+
+
+def _finish_compaction(path: str, tmp: str, old: str) -> None:
+    """Roll a committed compaction forward: move every data file under
+    tmp (skipping the `_commit` marker) to its place under `path`,
+    then retire both helpers. Idempotent — safe to re-run after a
+    crash at any point past the commit marker."""
+    for dirpath, _dirs, files in os.walk(tmp):
+        rel = os.path.relpath(dirpath, tmp)
+        target = path if rel == "." else os.path.join(path, rel)
+        os.makedirs(target, exist_ok=True)
+        for f in files:
+            if f == "_commit":
+                continue
+            os.replace(os.path.join(dirpath, f), os.path.join(target, f))
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _recover_compaction(path: str) -> None:
+    """Entry-point recovery for interrupted compactions: committed
+    passes (tmp carries `_commit`) roll FORWARD; uncommitted ones roll
+    BACK (the moved-aside originals return to their leaves, the tmp is
+    discarded). Stray '_compact_tmp_*' dirs anywhere deeper in the
+    tree (no paired old-aside — they never held the only copy) are
+    swept. All helper dirs are '_'-prefixed, so residue is invisible
+    to readers throughout."""
+    for entry in list(os.listdir(path)) if os.path.isdir(path) else []:
+        if not entry.startswith("_compact_tmp_"):
+            continue
+        cid = entry[len("_compact_tmp_"):]
+        tmp = os.path.join(path, entry)
+        old = os.path.join(path, f"_compact_old_{cid}")
+        if os.path.exists(os.path.join(tmp, "_commit")):
+            _finish_compaction(path, tmp, old)
+        else:
+            _restore_aside(path, old)
+            shutil.rmtree(tmp, ignore_errors=True)
+    # old-aside without its tmp (crash between helper creations, or a
+    # partial cleanup): originals go back
+    for entry in list(os.listdir(path)) if os.path.isdir(path) else []:
+        if entry.startswith("_compact_old_"):
+            _restore_aside(path, os.path.join(path, entry))
+    # legacy/deep residue: tmp dirs beside leaves never pair with an
+    # old-aside, so deleting them is always safe
+    for dirpath, dirnames, _files in os.walk(path):
+        for d in list(dirnames):
+            if d.startswith("_compact_tmp_") and dirpath != path:
+                shutil.rmtree(os.path.join(dirpath, d),
+                              ignore_errors=True)
+                dirnames.remove(d)
+
+
+def _restore_aside(path: str, old: str) -> None:
+    """Return moved-aside originals to their leaves (rollback). Files
+    already present at the destination win (they are either the same
+    originals from a partial restore, or a completed leaf)."""
+    if not os.path.exists(old):
+        return
+    for dirpath, _dirs, files in os.walk(old):
+        rel = os.path.relpath(dirpath, old)
+        target = path if rel == "." else os.path.join(path, rel)
+        os.makedirs(target, exist_ok=True)
+        for f in files:
+            dst = os.path.join(target, f)
+            if not os.path.exists(dst):
+                os.rename(os.path.join(dirpath, f), dst)
+    shutil.rmtree(old, ignore_errors=True)

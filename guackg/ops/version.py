@@ -76,6 +76,23 @@ def constraint_bounds(col: F.Column) -> tuple[F.Column, F.Column]:
     return lo, hi
 
 
+def explode_constraint_branches(df: DataFrame,
+                                constraint_col: str) -> DataFrame:
+    """Shared `||`-union handling (depversion.go:93-130): one row per
+    constraint branch with its parsed [_lo, _hi) bounds; unparseable
+    branches are dropped (no silent match-all). Both the range join
+    and the traversal gate consume this, so the constraint grammar
+    lives in exactly one place."""
+    branch = F.explode(F.transform(
+        F.split(F.col(constraint_col), r"\s*\|\|\s*"),
+        lambda c: F.trim(c)))
+    d = df.withColumn("_branch", branch)
+    lo, hi = constraint_bounds(F.col("_branch"))
+    return (d.withColumn("_lo", lo).withColumn("_hi", hi)
+            .filter(F.col("_lo").isNotNull())
+            .drop("_branch"))
+
+
 def version_range_join(deps: DataFrame, versions: DataFrame,
                        name_col: str = "name",
                        constraint_col: str = "constraint",
@@ -89,19 +106,13 @@ def version_range_join(deps: DataFrame, versions: DataFrame,
     so the result is the set union. Output keeps all columns of both
     sides plus the parsed `vnum`."""
     in_cols = deps.columns
-    branch = F.explode(F.transform(
-        F.split(F.col(constraint_col), r"\s*\|\|\s*"),
-        lambda c: F.trim(c)))
-    d = deps.withColumn("_branch", branch)
-    lo, hi = constraint_bounds(F.col("_branch"))
-    d = d.withColumn("_lo", lo).withColumn("_hi", hi) \
-        .filter(F.col("_lo").isNotNull())
+    d = explode_constraint_branches(deps, constraint_col)
     v = versions.withColumn("vnum", version_num(F.col(version_col))) \
         .filter(F.col("vnum").isNotNull())
     return (d.join(v, on=name_col)
             .filter((F.col("vnum") >= F.col("_lo"))
                     & (F.col("vnum") < F.col("_hi")))
-            .drop("_lo", "_hi", "_branch")
+            .drop("_lo", "_hi")
             .dropDuplicates(in_cols + [version_col]))
 
 
@@ -140,13 +151,7 @@ def version_gate_edges(edges: DataFrame, node_versions: DataFrame,
                  version_num(F.col(node_versions.columns[1]))
                  .alias("_vnum"))
          .filter(F.col("_vnum").isNotNull()))
-    branch = F.explode(F.transform(
-        F.split(F.col(constraint_col), r"\s*\|\|\s*"),
-        lambda c: F.trim(c)))
-    d = cons.withColumn("_branch", branch)
-    lo, hi = constraint_bounds(F.col("_branch"))
-    d = d.withColumn("_lo", lo).withColumn("_hi", hi) \
-        .filter(F.col("_lo").isNotNull())
+    d = explode_constraint_branches(cons, constraint_col)
     passed = (d.join(v, d[dst_col] == v["_vkey"])
               .filter((F.col("_vnum") >= F.col("_lo"))
                       & (F.col("_vnum") < F.col("_hi")))

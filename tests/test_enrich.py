@@ -137,3 +137,69 @@ def test_apply_promotions_delta_equals_full(spark, corpus, pages_df,
         apply_promotions(spark, wd, promoted, enriched,
                          assertions=assertions_df,
                          input_fingerprint="other-corpus")
+
+
+def test_apply_promotions_crash_resume(spark, corpus, pages_df, alias_df,
+                                       assertions_df, tmp_path,
+                                       monkeypatch):
+    """Mid-patch crash recovery: apply_promotions journals the delta
+    (changed links + key remap) BEFORE mutating any table, so a re-run
+    after a crash — when the links table already carries the promoted
+    rows and relink_fallbacks would find nothing — resumes from the
+    journal and completes the graph patch instead of stamping lineage
+    over a stale graph."""
+    from guackg.vocab import normalize_surface
+    g = corpus["golden_triples"]
+    occ = {normalize_surface(s)
+           for s in set(g["subj_surface"]) | set(g["obj_surface"])}
+    ad = corpus["alias_dict"]
+    ents = sorted(set(ad[ad["surface"].isin(occ)]["canonical_key"]))[:2]
+    removed = sorted(ad[ad["canonical_key"].isin(ents)]["surface"])
+    reduced = alias_df.filter(~F.col("surface").isin(removed))
+
+    wds = [str(tmp_path / "clean"), str(tmp_path / "crashy")]
+    for wd in wds:
+        KGPipeline(spark, wd).run(pages_df, reduced, assertions_df,
+                                  input_fingerprint="enr")
+    fellback = {r["norm"] for r in
+                gio.read_table(spark, os.path.join(wds[0], "link"))
+                .filter(F.col("method") == "fallback")
+                .select("norm").collect()}
+    real_promos = [s for s in removed if s in fellback]
+    assert real_promos
+    promoted = alias_df.filter(F.col("surface").isin(real_promos)) \
+        .localCheckpoint()
+    enriched = reduced.unionByName(promoted)
+
+    apply_promotions(spark, wds[0], promoted, enriched,
+                     assertions=assertions_df, input_fingerprint="enr")
+
+    real_merge = gio.merge_upsert
+    state = {"crashed": False}
+
+    def flaky(spark_, df, path, **kw):
+        if path.endswith("edges") and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("synthetic crash at the edges merge")
+        return real_merge(spark_, df, path, **kw)
+
+    monkeypatch.setattr(gio, "merge_upsert", flaky)
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        apply_promotions(spark, wds[1], promoted, enriched,
+                         assertions=assertions_df,
+                         input_fingerprint="enr")
+    assert os.path.exists(os.path.join(wds[1], "_enrich_pending")), \
+        "no journal left behind by the crashed patch"
+    # resume: the links table already carries the promoted rows, so
+    # only the journal can drive the remaining patch
+    stats = apply_promotions(spark, wds[1], promoted, enriched,
+                             assertions=assertions_df,
+                             input_fingerprint="enr")
+    assert stats.get("resumed_from_journal") is True
+    assert not os.path.exists(os.path.join(wds[1], "_enrich_pending"))
+
+    dn, de = _graph_sets(spark, wds[0])
+    cn, ce = _graph_sets(spark, wds[1])
+    assert dn == cn and de == ce
+    stale = {f"ent:guac/{s}" for s in real_promos}
+    assert not {k for k, _ in cn} & stale

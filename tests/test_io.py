@@ -297,3 +297,52 @@ def test_merge_delete_keys_retraction(spark, base):
     assert left == {t for t in want if t[1] != "beta"}
     assert not os.path.exists(os.path.join(table, "pred=beta")) or \
         not any("=" in d for d in os.listdir(os.path.join(table, "pred=beta")))
+
+
+def test_compact_crash_windows_recoverable(spark, base):
+    """Compaction must never hold the only copy of a leaf in a
+    deletable location. Simulated crash states: (a) before the commit
+    marker — next run rolls BACK (originals restored, tmp discarded);
+    (b) after the commit marker — next run rolls FORWARD (compacted
+    files land, helpers cleaned). Rows identical in both cases."""
+    import shutil
+    table, _ = base
+    before = sorted((r.k, r.pred, r.v) for r in
+                    spark.read.parquet(table).collect())
+
+    # force a real compaction first to learn the helper layout
+    gio.compact_table(spark, table, partition_by=["pred", "bucket"],
+                      small_file_bytes=256 * 1024 * 1024)
+    assert sorted((r.k, r.pred, r.v) for r in
+                  spark.read.parquet(table).collect()) == before
+
+    # (a) crash BEFORE commit: leaf moved aside, no _commit marker
+    leaf_parent = os.path.join(table, "pred=alpha")
+    leaf = next(os.path.join(leaf_parent, d)
+                for d in os.listdir(leaf_parent)
+                if d.startswith("bucket="))
+    rel = os.path.relpath(leaf, table)
+    old_dir = os.path.join(table, "_compact_old_deadbeef")
+    os.makedirs(os.path.join(old_dir, os.path.dirname(rel)), exist_ok=True)
+    os.rename(leaf, os.path.join(old_dir, rel))
+    tmp_dir = os.path.join(table, "_compact_tmp_deadbeef")
+    os.makedirs(os.path.join(tmp_dir, rel))  # half-written, no marker
+    gio.compact_table(spark, table, partition_by=["pred", "bucket"],
+                      small_file_bytes=256 * 1024 * 1024)
+    assert os.path.exists(leaf), "rollback did not restore the leaf"
+    assert not os.path.exists(old_dir) and not os.path.exists(tmp_dir)
+    assert sorted((r.k, r.pred, r.v) for r in
+                  spark.read.parquet(table).collect()) == before
+
+    # (b) crash AFTER commit marker: tmp holds the compacted leaf
+    os.makedirs(os.path.join(old_dir, os.path.dirname(rel)), exist_ok=True)
+    os.rename(leaf, os.path.join(old_dir, rel))
+    os.makedirs(os.path.dirname(os.path.join(tmp_dir, rel)), exist_ok=True)
+    shutil.copytree(os.path.join(old_dir, rel), os.path.join(tmp_dir, rel))
+    open(os.path.join(tmp_dir, "_commit"), "w").close()
+    gio.compact_table(spark, table, partition_by=["pred", "bucket"],
+                      small_file_bytes=256 * 1024 * 1024)
+    assert os.path.exists(leaf), "roll-forward did not land the leaf"
+    assert not os.path.exists(old_dir) and not os.path.exists(tmp_dir)
+    assert sorted((r.k, r.pred, r.v) for r in
+                  spark.read.parquet(table).collect()) == before
