@@ -142,6 +142,11 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     to `fanout` tasks — the Iceberg write.distribution-mode=hash
     fanout knob. Callers size it to executor cores / partition count.
     """
+    # an interrupted compaction may hold a leaf's only copy in its
+    # move-aside helper — recover BEFORE reading the table, or the
+    # merge would quietly compute without those rows
+    if table_exists(path):
+        _recover_compaction(path, deep=False)  # one root listdir
     new = df if assume_unique else df.dropDuplicates(keys)
     multi = partition_by is not None and len(partition_by) > 1
 
@@ -343,14 +348,16 @@ def _finish_compaction(path: str, tmp: str, old: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _recover_compaction(path: str) -> None:
+def _recover_compaction(path: str, deep: bool = True) -> None:
     """Entry-point recovery for interrupted compactions: committed
     passes (tmp carries `_commit`) roll FORWARD; uncommitted ones roll
     BACK (the moved-aside originals return to their leaves, the tmp is
-    discarded). Stray '_compact_tmp_*' dirs anywhere deeper in the
-    tree (no paired old-aside — they never held the only copy) are
-    swept. All helper dirs are '_'-prefixed, so residue is invisible
-    to readers throughout."""
+    discarded). With `deep`, stray '_compact_tmp_*' dirs anywhere
+    deeper in the tree (no paired old-aside — they never held the only
+    copy) are also swept; merge_upsert calls with deep=False so its
+    pre-read recovery costs one root listdir when nothing is pending.
+    All helper dirs are '_'-prefixed, so residue is invisible to
+    readers throughout."""
     for entry in list(os.listdir(path)) if os.path.isdir(path) else []:
         if not entry.startswith("_compact_tmp_"):
             continue
@@ -369,6 +376,8 @@ def _recover_compaction(path: str) -> None:
             _restore_aside(path, os.path.join(path, entry))
     # legacy/deep residue: tmp dirs beside leaves never pair with an
     # old-aside, so deleting them is always safe
+    if not deep:
+        return
     for dirpath, dirnames, _files in os.walk(path):
         for d in list(dirnames):
             if d.startswith("_compact_tmp_") and dirpath != path:

@@ -346,3 +346,33 @@ def test_compact_crash_windows_recoverable(spark, base):
     assert not os.path.exists(old_dir) and not os.path.exists(tmp_dir)
     assert sorted((r.k, r.pred, r.v) for r in
                   spark.read.parquet(table).collect()) == before
+
+
+def test_merge_recovers_crashed_compaction_first(spark, base):
+    """A merge landing on a table with an interrupted compaction must
+    recover it BEFORE computing: the moved-aside originals hold the
+    only copy of a leaf, and a merge that read the table without them
+    would quietly drop rows."""
+    table, _ = base
+    before = sorted((r.k, r.pred, r.v) for r in
+                    spark.read.parquet(table).collect())
+    # simulate the uncommitted crash window: a leaf moved aside
+    leaf_parent = os.path.join(table, "pred=alpha")
+    leaf = next(os.path.join(leaf_parent, d)
+                for d in os.listdir(leaf_parent)
+                if d.startswith("bucket="))
+    rel = os.path.relpath(leaf, table)
+    old_dir = os.path.join(table, "_compact_old_cafecafe")
+    os.makedirs(os.path.join(old_dir, os.path.dirname(rel)), exist_ok=True)
+    os.rename(leaf, os.path.join(old_dir, rel))
+    assert len({(r.k, r.pred, r.v)
+                for r in spark.read.parquet(table).collect()}) < len(before)
+    # a merge must first restore the leaf, then apply the delta
+    delta = _bucketed(spark.createDataFrame(
+        [("k0", "alpha", 12345)], "k string, pred string, v int"))
+    gio.merge_upsert(spark, delta, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"])
+    got = {(r.k, r.pred, r.v) for r in spark.read.parquet(table).collect()}
+    want = {t for t in before if t[0] != "k0"} | {("k0", "alpha", 12345)}
+    assert got == want, "merge dropped the moved-aside leaf's rows"
+    assert not os.path.exists(old_dir)
