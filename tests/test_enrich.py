@@ -203,3 +203,86 @@ def test_apply_promotions_crash_resume(spark, corpus, pages_df, alias_df,
     assert dn == cn and de == ce
     stale = {f"ent:guac/{s}" for s in real_promos}
     assert not {k for k, _ in cn} & stale
+
+
+def test_apply_promotions_second_round(spark, corpus, pages_df, alias_df,
+                                       assertions_df, tmp_path):
+    """Two promotion cycles back-to-back: round 2 computes its
+    affected set from the evidence table round 1 REWROTE
+    (refresh_evidence) — collisions with round-1 targets must still
+    recount exactly. Also: replaying an already-applied batch is a
+    no-op that keeps lineage stamped."""
+    from guackg.vocab import normalize_surface
+    g = corpus["golden_triples"]
+    occ = {normalize_surface(s)
+           for s in set(g["subj_surface"]) | set(g["obj_surface"])}
+    ad = corpus["alias_dict"]
+    ents = sorted(set(ad[ad["surface"].isin(occ)]["canonical_key"]))[:4]
+    removed = sorted(ad[ad["canonical_key"].isin(ents)]["surface"])
+    reduced = alias_df.filter(~F.col("surface").isin(removed))
+    wd = str(tmp_path / "two_rounds")
+    KGPipeline(spark, wd).run(pages_df, reduced, assertions_df,
+                              input_fingerprint="enr")
+    fellback = sorted(
+        r["norm"] for r in
+        gio.read_table(spark, os.path.join(wd, "link"))
+        .filter(F.col("method") == "fallback").select("norm").collect()
+        if r["norm"] in set(removed))
+    assert len(fellback) >= 2, "need two promotable surfaces"
+    first, second = fellback[: len(fellback) // 2], \
+        fellback[len(fellback) // 2:]
+
+    promo1 = alias_df.filter(F.col("surface").isin(first)).localCheckpoint()
+    dict1 = reduced.unionByName(promo1)
+    apply_promotions(spark, wd, promo1, dict1,
+                     assertions=assertions_df, input_fingerprint="enr")
+    # replay of the same batch: nothing to change, lineage stays
+    replay = apply_promotions(spark, wd, promo1, dict1,
+                              assertions=assertions_df,
+                              input_fingerprint="enr")
+    assert replay["changed_links"] == 0
+
+    promo2 = alias_df.filter(F.col("surface").isin(second)).localCheckpoint()
+    dict2 = dict1.unionByName(promo2)
+    stats2 = apply_promotions(spark, wd, promo2, dict2,
+                              assertions=assertions_df,
+                              input_fingerprint="enr")
+    assert stats2["changed_links"] >= 1
+
+    # oracle: from-scratch with the doubly-enriched dictionary,
+    # modulo the documented deferred-fuzzy deviation
+    wf = str(tmp_path / "full2")
+    KGPipeline(spark, wf).run(pages_df, dict2, assertions_df,
+                              input_fingerprint="enr")
+
+    def _links(w):
+        return {r["norm"]: (r["canonical_key"], r["method"]) for r in
+                gio.read_table(spark, os.path.join(w, "link")).collect()}
+    dl, fl = _links(wd), _links(wf)
+    diff_norms = {n for n in set(dl) | set(fl) if dl.get(n) != fl.get(n)}
+    assert not diff_norms & set(first + second)
+    allowed = {k for n in diff_norms
+               for k in (dl.get(n, (None,))[0], fl.get(n, (None,))[0],
+                         f"ent:guac/{n}", f"sfc:{n}") if k}
+    # The deferred-fuzzy norm's LSH resolution (full run only) can add
+    # an equivalence edge that changes its whole component's canonical
+    # representative — close `allowed` over both runs' canonicalize
+    # components so rep-flip fallout is tolerated too.
+    cms = [{(r["member_key"], r["canon_key"]) for r in
+            gio.read_table(spark, os.path.join(w, "canonicalize"))
+            .collect()} for w in (wd, wf)]
+    grew = True
+    while grew:
+        grew = False
+        for cm in cms:
+            canons = {c for m, c in cm if m in allowed or c in allowed}
+            members = {m for m, c in cm if c in canons}
+            if not (canons | members) <= allowed:
+                allowed |= canons | members
+                grew = True
+    dn, de = _graph_sets(spark, wd)
+    fn, fe = _graph_sets(spark, wf)
+    assert {k for k, _ in dn ^ fn} <= allowed
+    assert all(e[0] in allowed or e[2] in allowed for e in de ^ fe)
+    stale = {f"ent:guac/{s}" for s in first + second}
+    assert not {k for k, _ in dn} & stale
