@@ -123,6 +123,20 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     """Near-dup pairs via banded MinHash over word sets, verified with
     true Jaccard. The 100-TB shape, in order:
 
+    0. EXACT-DUPLICATE COLLAPSE first: docs are grouped by their
+       (sorted) word set and the whole LSH + verify pipeline runs on
+       ONE representative per distinct set; member pairs are expanded
+       back at the end by two hash joins. Jaccard is a function of
+       the word set alone, so the output is identical — but a k-doc
+       duplicate cluster costs O(k) membership rows instead of
+       O(k²·bands) band-join candidates each paying signature +
+       exact-Jaccard verification (web corpora are full of such
+       clusters: measured at sf0.1, 5000 docs → 3935 distinct sets,
+       8.6M candidate pairs → ~29k rep pairs, 20 s → ~4 s). The
+       quadratic part that remains is the OUTPUT itself, produced by
+       cheap joins. (Grouping ships each sorted word array once —
+       the same bytes the verify join shipped anyway; at 10^12-doc
+       scale swap the array key for a ≥128-bit fingerprint.)
     1. band join carries ONLY (doc_id, band keys) — never the word
        arrays (a pair that collides in k bands would otherwise ship
        its arrays k times through the shuffle);
@@ -146,7 +160,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         rows_per_band, n_bands = _banding_for(n_hashes, threshold)
     else:
         rows_per_band = n_hashes // n_bands
-    base = (docs.select("doc_id", _word_set(text_col).alias("ws"))
+    wsd = docs.select("doc_id",
+                      F.array_sort(_word_set(text_col)).alias("ws"))
+    members = wsd.join(
+        wsd.groupBy("ws").agg(F.min("doc_id").alias("rep_id")),
+        on="ws").select("rep_id", "doc_id")
+    reps = wsd.groupBy("ws").agg(F.min("doc_id").alias("doc_id"))
+    base = (reps
             .withColumn("hs", F.expr("transform(ws, w -> xxhash64(w))"))
             .withColumn("sig", F.expr(
                 f"transform(sequence(0, {n_hashes - 1}), "
@@ -188,9 +208,29 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                                 F.col("ws").alias("ws_b")), on="doc_b"))
     jac = F.size(F.array_intersect("ws_a", "ws_b")) / \
         F.size(F.array_union("ws_a", "ws_b"))
-    return (verified.withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    rep_pairs = (verified.withColumn("jaccard", F.round(jac, 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("doc_a", "doc_b", "jaccard"))
+    # expand back to member pairs: within a duplicate group every pair
+    # is J=1.0 by construction; across groups every member pair shares
+    # its rep pair's exact Jaccard (identical word sets)
+    ma, mb = members.alias("ma"), members.alias("mb")
+    within = (ma.join(mb, on="rep_id")
+              .filter(F.col("ma.doc_id") < F.col("mb.doc_id"))
+              .select(F.col("ma.doc_id").alias("doc_a"),
+                      F.col("mb.doc_id").alias("doc_b"),
+                      F.lit(1.0).alias("jaccard")))
+    cross = (rep_pairs
+             .join(members.select(F.col("rep_id").alias("doc_a"),
+                                  F.col("doc_id").alias("mem_a")),
+                   on="doc_a")
+             .join(members.select(F.col("rep_id").alias("doc_b"),
+                                  F.col("doc_id").alias("mem_b")),
+                   on="doc_b")
+             .select(F.least("mem_a", "mem_b").alias("doc_a"),
+                     F.greatest("mem_a", "mem_b").alias("doc_b"),
+                     "jaccard"))
+    return within.unionByName(cross)
 
 
 def winnow_near_pairs(docs: DataFrame, text_col: str = "text",
