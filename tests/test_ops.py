@@ -85,6 +85,40 @@ def test_ivf_ann_recall_and_cosine_truth(emb):
     assert approx == again
 
 
+def test_minhash_collapse_expands_duplicate_clusters(spark):
+    """The exact-duplicate collapse (dedup.py step 0) must be
+    invisible in the output: a constructed corpus with a 4-doc
+    identical cluster (including word-ORDER and MULTIPLICITY variants
+    — same word set), near-dups of that cluster, and unrelated docs
+    yields exactly the naive exact-Jaccard pair set, values included."""
+    from guackg.ops.dedup import jaccard_word_pairs, minhash_lsh_pairs
+    cluster = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, cluster),
+        (2, cluster),
+        # same word SET, different order/multiplicity — must collapse
+        (3, "tonight the lazy dog the quick quick brown fox jumps over"),
+        (4, cluster + " the the"),
+        # near-dup of the cluster (9/11 words shared → J ≈ 0.82)
+        (5, "the quick brown fox jumps over the lazy dog today quietly"),
+        (6, "a completely unrelated document about spark shuffles"),
+        (7, "another unrelated document concerning parquet footers"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = {(r.doc_a, r.doc_b): r.jaccard
+             for r in jaccard_word_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard
+           for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # all 6 within-cluster pairs at J=1.0, plus each member × doc 5
+    assert {(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4)
+            if a < b} <= set(lsh)
+    assert set(lsh) == set(naive)
+    for pair, j in lsh.items():
+        assert abs(j - naive[pair]) < 1e-6, (pair, j, naive[pair])
+    for a, b in ((1, 2), (1, 3), (2, 4)):
+        assert lsh[(a, b)] == 1.0
+
+
 def test_exact_dedup_counts(docs):
     from guackg.ops.dedup import exact_dedup
     out = exact_dedup(docs)
