@@ -67,12 +67,13 @@ def _reader(spark: SparkSession, source_spec: dict):
 
 def stream_pages_to_triples(
     spark: SparkSession,
-    pages_dir: str,
+    pages_dir: str | None,
     out_dir: str,
     checkpoint_dir: str | None = None,
     schema=None,
     max_files_per_trigger: int | None = None,
     source_spec: dict | None = None,
+    adapt=None,
 ):
     """Incremental pages → triples stream. Returns the StreamingQuery
     (caller awaits termination; AvailableNow stops at end of input).
@@ -83,14 +84,27 @@ def stream_pages_to_triples(
     semantics of the reference's NATS pull consumer (each micro-batch
     is an acked message group; a kill mid-drain loses at most one
     uncommitted batch, and resume re-reads only that). Unset = one
-    batch for the whole backlog (the plain polling collector)."""
-    if schema is None:
-        schema = spark.read.parquet(pages_dir).schema
+    batch for the whole backlog (the plain polling collector).
+
+    `adapt` is the bus-message decode step: a callable mapping the raw
+    source DataFrame to page rows (url, warc_ts, html, text, lang).
+    File sources need none (the parquet rows ARE pages); a broker
+    source decodes its message envelope here — for Kafka, `value` is
+    the page blob and `key`/`timestamp` carry url/warc_ts, exactly the
+    per-message unmarshalling of the reference's S3/SQS collector
+    (s3.go:172-262). Everything downstream of `adapt` is the one
+    shared extract → triples graph."""
+    if source_spec is None:
+        if schema is None:
+            schema = spark.read.parquet(pages_dir).schema
+        source_spec = {
+            "format": "parquet", "path": pages_dir, "schema": schema,
+            "max_files_per_trigger": max_files_per_trigger}
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
-    stream = _reader(spark, source_spec or {
-        "format": "parquet", "path": pages_dir, "schema": schema,
-        "max_files_per_trigger": max_files_per_trigger})
+    stream = _reader(spark, source_spec)
+    if adapt is not None:
+        stream = adapt(stream)
     ok, _bad = split_quarantine(extract(stream))
     triples = extract_triples(
         ok.select("url", "warc_ts", "lang", "extracted_text"))
