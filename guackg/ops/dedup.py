@@ -160,12 +160,24 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         rows_per_band, n_bands = _banding_for(n_hashes, threshold)
     else:
         rows_per_band = n_hashes // n_bands
-    wsd = docs.select("doc_id",
-                      F.array_sort(_word_set(text_col)).alias("ws"))
-    members = wsd.join(
-        wsd.groupBy("ws").agg(F.min("doc_id").alias("rep_id")),
-        on="ws").select("rep_id", "doc_id")
-    reps = wsd.groupBy("ws").agg(F.min("doc_id").alias("doc_id"))
+    # the set identity is a 128-bit fingerprint (two independent
+    # xxhash64 of the sorted array), NOT the array itself: grouping and
+    # the membership join carry 2 longs per row instead of the word
+    # array, and the rep-selection agg is a hash agg on fixed-width
+    # keys (collision odds ~n²/2¹²⁸ — the standard content-address
+    # assumption; the exact-Jaccard verify in step 4 is unaffected)
+    wsd = (docs.select("doc_id",
+                       F.array_sort(_word_set(text_col)).alias("ws"))
+           .withColumn("fp1", F.xxhash64("ws"))
+           .withColumn("fp2", F.xxhash64(F.lit(0x9E37), "ws")))
+    rep_ids = wsd.groupBy("fp1", "fp2").agg(
+        F.min("doc_id").alias("rep_id"))
+    members = (wsd.select("doc_id", "fp1", "fp2")
+               .join(rep_ids, on=["fp1", "fp2"])
+               .select("rep_id", "doc_id"))
+    reps = (wsd.join(rep_ids.select(F.col("rep_id").alias("doc_id")),
+                     on="doc_id")
+            .select("doc_id", "ws"))
     base = (reps
             .withColumn("hs", F.expr("transform(ws, w -> xxhash64(w))"))
             .withColumn("sig", F.expr(
