@@ -343,3 +343,44 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     return (pairs.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def near_dup_collapse(docs: DataFrame, pairs: DataFrame,
+                      doc_col: str = "doc_id",
+                      pair_a: str = "doc_a",
+                      pair_b: str = "doc_b") -> DataFrame:
+    """Pairs → clusters → keep-one-per-cluster: the step a training-data
+    dedup pipeline actually ships. Near-dup similarity is not
+    transitive, so pairwise output alone over-deletes (dropping the
+    higher id of every pair can empty a chain A-B-C); the standard
+    resolution (and the reference's, where every equivalent surface
+    lands on one interned node — inmem backend.go:73-106) is connected
+    components over the pair graph, keeping one canonical document per
+    component.
+
+    Returns one row per input doc: (doc_id, cluster_id, keep) where
+    cluster_id is the component's minimum doc_id and keep marks its
+    deterministic representative (singletons keep themselves).
+
+    Scale shape: the heavy lifting is `connected_components`
+    (large-star/small-star iterations above the driver bound); the
+    rest is two key-equi joins and one agg on O(docs) rows of 2-3
+    scalars. Feed it ANY pair source — MinHash-LSH, SimHash, winnow,
+    embedding near-dup — they all emit (doc_a, doc_b, ...)."""
+    from guackg.cc import connected_components
+
+    edges = pairs.select(F.col(pair_a).cast("string").alias("key_a"),
+                         F.col(pair_b).cast("string").alias("key_b"))
+    comps = connected_components(edges)
+    ids = docs.select(F.col(doc_col).alias("doc_id"))
+    m = (ids.join(comps,
+                  ids["doc_id"].cast("string") == comps["member_key"],
+                  "left")
+         .select("doc_id",
+                 F.coalesce("canon_key",
+                            F.col("doc_id").cast("string"))
+                 .alias("canon_key")))
+    reps = m.groupBy("canon_key").agg(F.min("doc_id").alias("cluster_id"))
+    return (m.join(reps, on="canon_key")
+            .select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("keep")))

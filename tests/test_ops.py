@@ -180,3 +180,53 @@ def test_winnow_fingerprints_detect_shared_spans(spark):
     fp2 = {(r.doc_id, r.fingerprint) for r in
            winnow_fingerprints(docs).collect()}
     assert fp2 == {(d, f) for d, s in sets.items() for f in s}
+
+
+def test_near_dup_collapse_vs_duckdb_components(spark, docs):
+    """The keep-one-per-cluster collapse must agree with a from-scratch
+    transitive-closure oracle (DuckDB recursive CTE propagating the
+    min reachable doc_id), fed the same deterministic pair source
+    (n-gram Jaccard). Plus the two structural invariants: exactly one
+    kept doc per cluster, every input doc classified exactly once."""
+    import duckdb
+
+    from guackg.ops.dedup import near_dup_collapse, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.4)
+    out = near_dup_collapse(docs, pairs)
+
+    got = {(r.doc_id, r.cluster_id, r.keep) for r in out.collect()}
+    pair_rows = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    doc_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    con = duckdb.connect()
+    con.execute("create table d(doc_id bigint)")
+    con.executemany("insert into d values (?)", [(i,) for i in doc_ids])
+    con.execute("create table p(a bigint, b bigint)")
+    if pair_rows:
+        con.executemany("insert into p values (?, ?)", pair_rows)
+    want = {(r[0], r[1], bool(r[2])) for r in con.execute("""
+        WITH RECURSIVE
+        e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        reach(node, m) AS (
+            SELECT doc_id, doc_id FROM d
+            UNION
+            SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.node
+        ),
+        comp AS (SELECT node AS doc_id, MIN(m) AS cluster_id
+                 FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+        FROM comp
+    """).fetchall()}
+    assert got == want
+
+    # invariants: one row per doc; one keeper per cluster, and it IS
+    # the cluster id; both endpoints of every pair share a cluster
+    assert out.count() == len(doc_ids)
+    per_cluster = {r.cluster_id: r.n for r in out.filter("keep")
+                   .groupBy("cluster_id").agg(F.count("*").alias("n"))
+                   .collect()}
+    assert set(per_cluster.values()) == {1}
+    cl = {d: c for d, c, _ in got}
+    assert all(cl[a] == cl[b] for a, b in pair_rows)
+    assert len(pair_rows) > 0  # the fixture actually exercises merging
