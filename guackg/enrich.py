@@ -85,16 +85,25 @@ def apply_promotions(
     alias_enriched: DataFrame,
     assertions: DataFrame | None = None,
     input_fingerprint: str = "",
-    include_page_graph: bool = True,
-    refresh_evidence: bool = True,
+    include_page_graph: bool | None = None,
 ) -> dict:
     """Apply a promotion batch (surface, canonical_key, kind) to a
     built workdir. `alias_enriched` is the FULL enriched dictionary
     (old ∪ promoted) — its content fingerprint stamps the lineage.
     Returns a stats dict (promotions, changed links, remapped keys,
-    affected evidence rows, edge upserts/deletes)."""
+    affected evidence rows, edge upserts/deletes).
+
+    `include_page_graph=None` (default) infers the flag from the
+    workdir itself — page edges live under the `pred=mentions`
+    partition of the edges table — so a promotion pass can never
+    inject partial page edges into a page-graph-free build (or skip
+    patching them in a build that has them); pass an explicit bool
+    only to assert a build mode, not to choose one."""
     lineage = Lineage(workdir)
     out = lambda name: os.path.join(workdir, name)  # noqa: E731
+    if include_page_graph is None:
+        include_page_graph = os.path.isdir(
+            os.path.join(out("edges"), "pred=mentions"))
     t0 = time.time()
     # promotions typically derive from THIS workdir's candidate table
     # (the collectsub queue), which this pass overwrites — pin the
@@ -225,7 +234,8 @@ def apply_promotions(
     stats["remapped_keys"] = remap.count()
 
     # ---- mutations begin (each idempotent given the journaled delta)
-    gio.merge_upsert(spark, changed, out("link"), keys=["norm"])
+    gio.merge_upsert(spark, changed, out("link"), keys=["norm"],
+                     require_existing=True)
     links_new = gio.read_table(spark, out("link"))
     equiv = equivalence_edges_from_links(links_new)
     gio.write_table(equiv, out("equivalence_edges"))
@@ -294,24 +304,28 @@ def apply_promotions(
     # the delta volumes are small, so sequential commits are fine
     gio.merge_upsert(spark, new_nodes, out("nodes"),
                      keys=["canonical_key"], partition_by=["kind"],
-                     assume_unique=True, delete_keys=stale_nodes)
+                     assume_unique=True, delete_keys=stale_nodes,
+                     require_existing=True)
     fanout = max(1, min(8, spark.sparkContext.defaultParallelism))
     gio.merge_upsert(spark, new_edges, out("edges"),
                      keys=["subj_key", "pred", "obj_key"],
                      partition_by=["pred", "bucket"],
                      assume_unique=True, fanout=fanout,
-                     delete_keys=aff_old_edges)
+                     delete_keys=aff_old_edges,
+                     require_existing=True)
 
-    if refresh_evidence:
-        # keep the evidence table consistent for the NEXT delta round:
-        # one narrow read→write (no shuffle) replacing the affected
-        # rows with their re-resolved form — the cost class of a
-        # compaction pass, amortizable off the hot path
-        unaffected = marked.filter(F.col("_m1").isNull()
-                                   & F.col("_m2").isNull()) \
-            .drop("_m1", "_m2").select(*tr_cols)
-        gio.write_table(unaffected.unionByName(re_res.select(*tr_cols)),
-                        out("materialize"))
+    # keep the evidence table consistent for the NEXT delta round:
+    # one narrow read→write (no shuffle) replacing the affected rows
+    # with their re-resolved form. NOT optional: a stale evidence
+    # table would be stamped under the enriched lineage below, and a
+    # second promotion round marks affected rows against the CURRENT
+    # links — rows still keyed to retracted identities would silently
+    # escape the remap
+    unaffected = marked.filter(F.col("_m1").isNull()
+                               & F.col("_m2").isNull()) \
+        .drop("_m1", "_m2").select(*tr_cols)
+    gio.write_table(unaffected.unionByName(re_res.select(*tr_cols)),
+                    out("materialize"))
 
     # identifier side-channel: promoted norms are no longer candidates
     freq = gio.read_table(spark, out("mention_freq"))

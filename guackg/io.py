@@ -23,6 +23,7 @@ leaves a half-written table (poor man's snapshot commit).
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
@@ -58,6 +59,9 @@ def write_table(df: DataFrame, path: str,
     tmp dir and raises instead of swapping — the table is left exactly
     as it was (the Iceberg analog: a MERGE in the same transaction as
     a failed dependency never commits its snapshot)."""
+    _recover_swap(path)
+    for stale in glob.glob(glob.escape(path) + ".__tmp__*"):
+        shutil.rmtree(stale, ignore_errors=True)  # dead prior writes
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
     w = df.write.mode("overwrite")
     if partition_by:
@@ -69,9 +73,51 @@ def write_table(df: DataFrame, path: str,
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(f"commit aborted for {path}: gated "
                            "prerequisite commit failed")
+    _swap_in(tmp, path)
+
+
+def _swap_in(tmp: str, path: str) -> None:
+    """Commit a written tmp dir as the table WITHOUT a window where the
+    only copy is gone: the old table is renamed aside (one syscall),
+    the new one renamed in (one syscall), and only then is the old
+    copy deleted. The naive rmtree-then-rename swap has an O(files)
+    window during which a crash leaves NO table at all — and a keyed
+    merge that later finds no table would quietly re-create it from
+    its delta alone (the silent-corruption path `_recover_swap` and
+    merge_upsert's `require_existing` exist to close)."""
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+        old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.replace(tmp, path)
+
+
+def _recover_swap(path: str) -> None:
+    """Heal a crash inside `_swap_in`. Two cases:
+    - table missing but a `<path>.__old__*` sibling survives → the
+      swap died between its two renames; the commit never happened, so
+      restore the pre-swap copy.
+    - table present with `.__old__*` residue → the crash hit the
+      post-commit rmtree; finish the cleanup.
+    Sibling dirs (never inside the table tree) are invisible to
+    Spark's partition discovery, so residue is only garbage, never
+    data corruption (the compact_table lesson, round-3 advice #4)."""
+    leftovers = sorted(glob.glob(glob.escape(path) + ".__old__*"))
+    if not leftovers:
+        return
+    if not table_exists(path):
+        for d in reversed(leftovers):
+            if os.path.exists(os.path.join(d, "_SUCCESS")):
+                if os.path.exists(path):  # swapped-in dir w/o _SUCCESS
+                    shutil.rmtree(path)
+                os.replace(d, path)
+                leftovers.remove(d)
+                break
+    for d in leftovers:
+        if table_exists(path):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
@@ -81,7 +127,8 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
                  fanout: int = 1,
                  pre_distributed: bool = False,
                  commit_gate=None, commit_abort=None,
-                 delete_keys: DataFrame | None = None) -> None:
+                 delete_keys: DataFrame | None = None,
+                 require_existing: bool = False) -> None:
     """Keyed upsert: incoming rows replace existing rows with the same
     key (guac's find-or-create trie upsert, pkg.go:344-434; on Iceberg
     this whole function is one `MERGE INTO target USING df ON keys
@@ -142,9 +189,10 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     to `fanout` tasks — the Iceberg write.distribution-mode=hash
     fanout knob. Callers size it to executor cores / partition count.
     """
-    # an interrupted compaction may hold a leaf's only copy in its
-    # move-aside helper — recover BEFORE reading the table, or the
-    # merge would quietly compute without those rows
+    # an interrupted swap or compaction may hold the table's (or a
+    # leaf's) only copy in its move-aside helper — recover BEFORE
+    # reading, or the merge would quietly compute without those rows
+    _recover_swap(path)
     if table_exists(path):
         _recover_compaction(path, deep=False)  # one root listdir
     new = df if assume_unique else df.dropDuplicates(keys)
@@ -162,6 +210,15 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     if multi and not pre_distributed:
         new = _spread(new)
     if not table_exists(path):
+        if require_existing:
+            # a merge whose delta is a PATCH of prior state must never
+            # create the table from the patch alone (e.g. the enrich
+            # resume: a links table built from only the re-linked norms
+            # would silently drop the rest of the vocabulary)
+            raise RuntimeError(
+                f"merge_upsert: {path} does not exist but this merge "
+                "requires prior state (require_existing=True); the "
+                "delta alone is not the table")
         write_table(new, path, partition_by, commit_gate=commit_gate,
                     commit_abort=commit_abort)
         return

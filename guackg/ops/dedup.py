@@ -134,9 +134,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
        clusters: measured at sf0.1, 5000 docs → 3935 distinct sets,
        8.6M candidate pairs → ~29k rep pairs, 20 s → ~4 s). The
        quadratic part that remains is the OUTPUT itself, produced by
-       cheap joins. (Grouping ships each sorted word array once —
-       the same bytes the verify join shipped anyway; at 10^12-doc
-       scale swap the array key for a ≥128-bit fingerprint.)
+       cheap joins. The group identity is a 128-bit fingerprint of
+       the sorted array, never the array itself. Docs whose word set
+       is NULL or empty are excluded up front: they have no defined
+       word Jaccard (the exact-pair oracle emits nothing for them),
+       and fingerprint-grouping them would otherwise fabricate J=1.0
+       "duplicate" pairs among all empty documents.
     1. band join carries ONLY (doc_id, band keys) — never the word
        arrays (a pair that collides in k bands would otherwise ship
        its arrays k times through the shuffle);
@@ -165,9 +168,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # the membership join carry 2 longs per row instead of the word
     # array, and the rep-selection agg is a hash agg on fixed-width
     # keys (collision odds ~n²/2¹²⁸ — the standard content-address
-    # assumption; the exact-Jaccard verify in step 4 is unaffected)
+    # assumption; the exact-Jaccard verify in step 4 is unaffected).
+    # Deliberately NOT persisted although three branches reuse it:
+    # measured at sf0.1/local[32], caching wsd (or base below) is
+    # 25-35% SLOWER than recomputing — the columnar cache must
+    # materialize the word arrays, which breaks whole-stage codegen
+    # and costs more than re-running tokenize+sort+hash per branch
     wsd = (docs.select("doc_id",
                        F.array_sort(_word_set(text_col)).alias("ws"))
+           .filter(F.col("ws").isNotNull() & (F.size("ws") > 0))
            .withColumn("fp1", F.xxhash64("ws"))
            .withColumn("fp2", F.xxhash64(F.lit(0x9E37), "ws")))
     rep_ids = wsd.groupBy("fp1", "fp2").agg(
@@ -182,7 +191,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .withColumn("hs", F.expr("transform(ws, w -> xxhash64(w))"))
             .withColumn("sig", F.expr(
                 f"transform(sequence(0, {n_hashes - 1}), "
-                f"j -> array_min(transform(hs, h -> xxhash64(h, j))))")))
+                f"j -> array_min(transform(hs, h -> xxhash64(h, j))))"))
+            .drop("hs"))
     bands = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
                  F.xxhash64(*[F.expr(f"sig[{b * rows_per_band + r}]")

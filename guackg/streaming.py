@@ -279,11 +279,12 @@ def stream_stateful_sessions(
 
 def stream_triples_upsert(
     spark: SparkSession,
-    pages_dir: str,
+    pages_dir: str | None,
     workdir: str,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     source_spec: dict | None = None,
+    adapt=None,
 ):
     """Streaming ingest INTO the idempotent graph sink: each
     micro-batch of pages runs the extract→triples transformations and
@@ -308,14 +309,20 @@ def stream_triples_upsert(
 
     from guackg import io as gio
 
-    schema = spark.read.parquet(pages_dir).schema
+    if source_spec is None:
+        source_spec = {
+            "format": "parquet", "path": pages_dir,
+            "schema": spark.read.parquet(pages_dir).schema,
+            "max_files_per_trigger": max_files_per_trigger}
     checkpoint_dir = checkpoint_dir or os.path.join(workdir,
                                                     "_up_checkpoint")
     table = os.path.join(workdir, "triples_upsert")
 
-    stream = _reader(spark, source_spec or {
-        "format": "parquet", "path": pages_dir, "schema": schema,
-        "max_files_per_trigger": max_files_per_trigger})
+    stream = _reader(spark, source_spec)
+    if adapt is not None:
+        # the bus-message decode step — same contract as
+        # stream_pages_to_triples: raw source rows → page rows
+        stream = adapt(stream)
     ok, _bad = split_quarantine(extract(stream))
     triples = extract_triples(
         ok.select("url", "warc_ts", "lang", "extracted_text"))

@@ -376,3 +376,44 @@ def test_merge_recovers_crashed_compaction_first(spark, base):
     want = {t for t in before if t[0] != "k0"} | {("k0", "alpha", 12345)}
     assert got == want, "merge dropped the moved-aside leaf's rows"
     assert not os.path.exists(old_dir)
+
+
+def test_swap_crash_window_recovers_and_merge_refuses_delta_rebuild(
+        spark, base):
+    """The two halves of the silent-corruption fix: (a) a crash inside
+    the write_table swap — old table renamed aside, new one never
+    committed — must be healed by the next merge (the pre-swap copy IS
+    the table; the commit never happened); (b) a keyed merge carrying a
+    PATCH must refuse to create a missing table from the patch alone
+    (require_existing)."""
+    table, df = base
+    n0 = spark.read.parquet(table).count()
+
+    # simulate the mid-swap crash: table moved aside, no replacement
+    os.rename(table, table + ".__old__dead0001")
+    assert not gio.table_exists(table)
+
+    delta = _bucketed(spark.createDataFrame(
+        [("k0", "alpha", 999)], "k string, pred string, v int"))
+    gio.merge_upsert(spark, delta, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"],
+                     require_existing=True)
+    got = spark.read.parquet(table)
+    assert got.count() == n0  # recovered + merged, nothing lost
+    assert got.filter("k = 'k0'").collect()[0].v == 999
+    assert not os.path.exists(table + ".__old__dead0001")
+
+    # post-commit residue (crash during the old copy's cleanup) is swept
+    os.makedirs(table + ".__old__dead0002")
+    gio.merge_upsert(spark, delta, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"])
+    assert not os.path.exists(table + ".__old__dead0002")
+
+    # a truly missing table + require_existing → loud error, never a
+    # table built from the delta alone
+    missing = table + "_nonexistent"
+    with pytest.raises(RuntimeError, match="require_existing"):
+        gio.merge_upsert(spark, delta, missing, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"],
+                         require_existing=True)
+    assert not gio.table_exists(missing)

@@ -230,3 +230,27 @@ def test_near_dup_collapse_vs_duckdb_components(spark, docs):
     cl = {d: c for d, c, _ in got}
     assert all(cl[a] == cl[b] for a, b in pair_rows)
     assert len(pair_rows) > 0  # the fixture actually exercises merging
+
+
+def test_minhash_ignores_null_and_empty_texts(spark):
+    """Docs with NULL or whitespace-only text have no defined word
+    Jaccard and the exact-pair oracle emits nothing for them; the
+    collapsed LSH path must not fabricate J=1.0 'duplicate' pairs by
+    fingerprint-grouping them (the NULL-array xxhash64 reduces to a
+    seed constant, so ALL such docs would otherwise collide)."""
+    from guackg.ops.dedup import jaccard_word_pairs, minhash_lsh_pairs
+
+    rows = [(1, None), (2, None), (3, "   "), (4, ""),
+            (5, "alpha beta gamma delta"),
+            (6, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    # whitespace-only docs tokenize to the same one-element ("") set —
+    # genuine duplicates per the word-set definition, paired by BOTH
+    # paths; NULL docs are paired by NEITHER
+    assert got == {(3, 4, 1.0), (5, 6, 1.0)}
+    exact = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in jaccard_word_pairs(df, threshold=0.5).collect()}
+    assert got == exact
+    assert not any(d in (1, 2) for pair in got for d in pair[:2])

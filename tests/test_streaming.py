@@ -156,6 +156,32 @@ def test_bus_source_through_seam(spark, tmp_path_factory):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
 
+    # the graph-sink ingest path accepts the same bus source + decode
+    # (stream_triples_upsert gained the seam too — a broker source must
+    # be able to feed the idempotent upsert sink, not just the append
+    # sink above)
+    from guackg.streaming import stream_triples_upsert
+
+    up_dir = str(tmp_path_factory.mktemp("bus_upsert"))
+    q2 = stream_triples_upsert(
+        spark, pages_dir=None, workdir=up_dir,
+        source_spec={"format": "rate-micro-batch",
+                     "options": {"rowsPerBatch": str(n),
+                                 "numPartitions": "2",
+                                 "startTimestamp": "0"}},
+        adapt=decode_messages)
+    q2.awaitTermination(300)
+    upserted = spark.read.parquet(os.path.join(up_dir, "triples_upsert"))
+    cols = want.columns
+    # the upsert sink keys on the natural triple identity, so repeated
+    # identical triples collapse — compare as sets, and the row count
+    # must equal the keyed-distinct count of the batch result
+    keys = ["url", "subj_surface", "pred", "obj_surface"]
+    assert upserted.count() == want.dropDuplicates(keys).count() > 0
+    assert upserted.select(cols).exceptAll(want).count() == 0
+    assert (want.distinct()
+            .exceptAll(upserted.select(cols).distinct()).count() == 0)
+
 
 def test_stateful_sessionization_stream(spark, tmp_path_factory):
     """applyInPandasWithState gap sessionization: closed sessions must
