@@ -119,7 +119,8 @@ def _banding_for(n_hashes: int, threshold: float,
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       n_hashes: int = 32, n_bands: int | None = None,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      new_ids: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash over word sets, verified with
     true Jaccard. The 100-TB shape, in order:
 
@@ -155,6 +156,19 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     than hashing every word per permutation (standard MinHash
     practice; ANSI-safe vs wrap-around affine mixing).
 
+    `new_ids` (optional, one id column) is INCREMENTAL mode — the
+    production shape where a fresh ingest batch dedups against the
+    existing corpus: `docs` is the full corpus (old ∪ new) and the
+    output is restricted to pairs touching at least one new doc —
+    exactly `minhash_lsh_pairs(docs)` filtered to new-touching pairs
+    (same hash seeds ⇒ same candidates), but candidate pairs whose
+    duplicate groups contain no new member are dropped BEFORE the
+    signature prefilter and exact-verify tiers, so the expensive work
+    is proportional to the batch, not the corpus. (Old-old pairs are
+    already known from previous runs; at deploy scale the old side's
+    signatures would come from a stored table rather than recompute —
+    the banding input is the seam to swap there.)
+
     `n_bands=None` (default) tunes the banding to the threshold via
     `_banding_for` — longer bands at higher thresholds keep the
     band-join candidate mass proportional to the TRUE pair count
@@ -184,6 +198,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     members = (wsd.select("doc_id", "fp1", "fp2")
                .join(rep_ids, on=["fp1", "fp2"])
                .select("rep_id", "doc_id"))
+    if new_ids is not None:
+        nid = (new_ids.select(F.col(new_ids.columns[0]).alias("_nid"))
+               .distinct())
+        members = (members
+                   .join(nid, members["doc_id"] == nid["_nid"], "left")
+                   .withColumn("is_new", F.col("_nid").isNotNull())
+                   .drop("_nid"))
+        # duplicate groups containing >= 1 new member; candidate pairs
+        # where NEITHER side's group has one can produce no new-
+        # touching output pair, so they die before prefilter/verify
+        rep_new = (members.filter("is_new")
+                   .select("rep_id").distinct())
     reps = (wsd.join(rep_ids.select(F.col("rep_id").alias("doc_id")),
                      on="doc_id")
             .select("doc_id", "ws"))
@@ -209,6 +235,16 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
+    if new_ids is not None:
+        cand = (cand
+                .join(rep_new.select(F.col("rep_id").alias("doc_a"),
+                                     F.lit(True).alias("_na")),
+                      on="doc_a", how="left")
+                .join(rep_new.select(F.col("rep_id").alias("doc_b"),
+                                     F.lit(True).alias("_nb")),
+                      on="doc_b", how="left")
+                .filter(F.col("_na").isNotNull() | F.col("_nb").isNotNull())
+                .select("doc_a", "doc_b"))
     sigs = base.select("doc_id", "sig")
     est = F.expr(
         f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
@@ -238,20 +274,29 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # its rep pair's exact Jaccard (identical word sets)
     ma, mb = members.alias("ma"), members.alias("mb")
     within = (ma.join(mb, on="rep_id")
-              .filter(F.col("ma.doc_id") < F.col("mb.doc_id"))
-              .select(F.col("ma.doc_id").alias("doc_a"),
-                      F.col("mb.doc_id").alias("doc_b"),
-                      F.lit(1.0).alias("jaccard")))
+              .filter(F.col("ma.doc_id") < F.col("mb.doc_id")))
+    if new_ids is not None:
+        within = within.filter(F.col("ma.is_new") | F.col("mb.is_new"))
+    within = within.select(F.col("ma.doc_id").alias("doc_a"),
+                           F.col("mb.doc_id").alias("doc_b"),
+                           F.lit(1.0).alias("jaccard"))
+    mem_a_cols = [F.col("rep_id").alias("doc_a"),
+                  F.col("doc_id").alias("mem_a")]
+    mem_b_cols = [F.col("rep_id").alias("doc_b"),
+                  F.col("doc_id").alias("mem_b")]
+    if new_ids is not None:
+        mem_a_cols.append(F.col("is_new").alias("_new_a"))
+        mem_b_cols.append(F.col("is_new").alias("_new_b"))
     cross = (rep_pairs
-             .join(members.select(F.col("rep_id").alias("doc_a"),
-                                  F.col("doc_id").alias("mem_a")),
-                   on="doc_a")
-             .join(members.select(F.col("rep_id").alias("doc_b"),
-                                  F.col("doc_id").alias("mem_b")),
-                   on="doc_b")
-             .select(F.least("mem_a", "mem_b").alias("doc_a"),
-                     F.greatest("mem_a", "mem_b").alias("doc_b"),
-                     "jaccard"))
+             .join(members.select(*mem_a_cols), on="doc_a")
+             .join(members.select(*mem_b_cols), on="doc_b"))
+    if new_ids is not None:
+        # member-level exactness: a new-group candidate still expands
+        # to some old-old member pairs — keep only new-touching ones
+        cross = cross.filter(F.col("_new_a") | F.col("_new_b"))
+    cross = cross.select(F.least("mem_a", "mem_b").alias("doc_a"),
+                         F.greatest("mem_a", "mem_b").alias("doc_b"),
+                         "jaccard")
     return within.unionByName(cross)
 
 

@@ -254,3 +254,22 @@ def test_minhash_ignores_null_and_empty_texts(spark):
              for r in jaccard_word_pairs(df, threshold=0.5).collect()}
     assert got == exact
     assert not any(d in (1, 2) for pair in got for d in pair[:2])
+
+
+def test_minhash_incremental_equals_full_restricted(docs):
+    """Incremental mode (new batch vs existing corpus) must equal the
+    full run restricted to pairs touching a new doc — same hash seeds,
+    same candidates, only the old-old work is skipped."""
+    from guackg.ops.dedup import minhash_lsh_pairs
+
+    new = docs.filter("doc_id % 5 = 0").select("doc_id")
+    new_set = {r.doc_id for r in new.collect()}
+
+    full = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    want = {p for p in full if p[0] in new_set or p[1] in new_set}
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in minhash_lsh_pairs(docs, threshold=0.5,
+                                      new_ids=new).collect()}
+    assert got == want
+    assert len(want) > 0 and len(want) < len(full)
