@@ -26,6 +26,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,13 @@ def table_exists(path: str) -> bool:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    # self-healing reads: a crash inside a swap leaves the table (or a
+    # leaf) in a move-aside helper; a resume path that READS before its
+    # first write (e.g. the enrich journal replay reading materialize)
+    # must recover it here or fail on every retry. Cost when nothing is
+    # pending: one parent-dir glob + one root listdir.
+    _recover_swap(path)
+    _recover_merge_swap(path)
     return spark.read.parquet(path)
 
 
@@ -86,7 +94,12 @@ def _swap_in(tmp: str, path: str) -> None:
     its delta alone (the silent-corruption path `_recover_swap` and
     merge_upsert's `require_existing` exist to close)."""
     if os.path.exists(path):
-        old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+        # zero-padded wall-clock prefix: if cleanup failures ever leave
+        # MULTIPLE aside copies, lexicographic order is chronological,
+        # so recovery restores the newest (uuid alone would be a coin
+        # flip between a stale snapshot and the current data)
+        old = (f"{path}.__old__{time.time_ns():020d}"
+               f"{uuid.uuid4().hex[:4]}")
         os.replace(path, old)
         os.replace(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
@@ -189,10 +202,16 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     to `fanout` tasks — the Iceberg write.distribution-mode=hash
     fanout knob. Callers size it to executor cores / partition count.
     """
-    # an interrupted swap or compaction may hold the table's (or a
-    # leaf's) only copy in its move-aside helper — recover BEFORE
-    # reading, or the merge would quietly compute without those rows
+    # an interrupted swap, leaf swap or compaction may hold the
+    # table's (or a leaf's) only copy in its move-aside helper —
+    # recover BEFORE reading, or the merge would quietly compute
+    # without those rows; dead prior merges also leave .__tmp__*
+    # siblings (full-size table copies) — sweep them (single-writer-
+    # per-table contract, so no live merge's tmp can be here)
     _recover_swap(path)
+    _recover_merge_swap(path)
+    for stale in glob.glob(glob.escape(path) + ".__tmp__*"):
+        shutil.rmtree(stale, ignore_errors=True)
     if table_exists(path):
         _recover_compaction(path, deep=False)  # one root listdir
     new = df if assume_unique else df.dropDuplicates(keys)
@@ -291,22 +310,65 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
 
 
 def _swap_partition_dirs(tmp: str, path: str,
-                         partition_by: list[str], level: int = 0) -> None:
+                         partition_by: list[str]) -> None:
     """Move every `col=value` leaf dir from tmp into path (per-dir
-    atomic os.replace), recursing through multi-level partitioning."""
-    pcol = partition_by[level]
-    for entry in os.listdir(tmp):
-        if not entry.startswith(f"{pcol}="):
+    atomic os.replace), recursing through multi-level partitioning.
+
+    Per leaf, the OLD dir is first renamed into a root-level
+    `_mswap_old_<id>` helper ('_'-prefixed — invisible to Spark's file
+    index, same convention as the compaction helpers) and only then
+    replaced — no instant holds a leaf's only copy in a deletable
+    location (the naive rmtree-then-rename had an O(files) window per
+    leaf where a crash silently lost every unaffected key in that
+    bucket). The helper is removed after all leaves land;
+    `_recover_merge_swap` at merge/read entry heals a crash at any
+    point. A crash mid-swap can leave the table with a MIX of old and
+    new leaves — safe, because lineage was never stamped, so the merge
+    re-runs the same delta and keyed upserts converge idempotently."""
+    aside = os.path.join(path, f"_mswap_old_{uuid.uuid4().hex[:8]}")
+
+    def walk(src_dir: str, dst_dir: str, level: int) -> None:
+        pcol = partition_by[level]
+        for entry in os.listdir(src_dir):
+            if not entry.startswith(f"{pcol}="):
+                continue
+            src = os.path.join(src_dir, entry)
+            dst = os.path.join(dst_dir, entry)
+            if level + 1 < len(partition_by):
+                os.makedirs(dst, exist_ok=True)
+                walk(src, dst, level + 1)
+            else:
+                if os.path.exists(dst):
+                    keep = os.path.join(aside,
+                                        os.path.relpath(dst, path))
+                    os.makedirs(os.path.dirname(keep), exist_ok=True)
+                    os.replace(dst, keep)
+                os.replace(src, dst)
+
+    walk(tmp, path, 0)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def _recover_merge_swap(path: str) -> None:
+    """Heal a crash inside `_swap_partition_dirs`: every leaf stranded
+    in a `_mswap_old_*` helper either returns to its place (its
+    replacement never landed) or is dropped (it did — the rename-in
+    for that leaf completed before the crash)."""
+    if not os.path.isdir(path):
+        return
+    for entry in os.listdir(path):
+        if not entry.startswith("_mswap_old_"):
             continue
-        src = os.path.join(tmp, entry)
-        dst = os.path.join(path, entry)
-        if level + 1 < len(partition_by):
-            os.makedirs(dst, exist_ok=True)
-            _swap_partition_dirs(src, dst, partition_by, level + 1)
-        else:
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.replace(src, dst)
+        base = os.path.join(path, entry)
+        for dirpath, _dirs, files in os.walk(base, topdown=False):
+            if not files:
+                continue
+            rel = os.path.relpath(dirpath, base)
+            dst = os.path.join(path, rel)
+            if not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(dirpath, dst)
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def compact_table(spark: SparkSession, path: str,

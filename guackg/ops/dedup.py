@@ -422,20 +422,16 @@ def near_dup_collapse(docs: DataFrame, pairs: DataFrame,
     rest is two key-equi joins and one agg on O(docs) rows of 2-3
     scalars. Feed it ANY pair source — MinHash-LSH, SimHash, winnow,
     embedding near-dup — they all emit (doc_a, doc_b, ...)."""
-    from guackg.cc import connected_components
+    from guackg.cc import canonicalize_keys, connected_components
 
     edges = pairs.select(F.col(pair_a).cast("string").alias("key_a"),
                          F.col(pair_b).cast("string").alias("key_b"))
     comps = connected_components(edges)
-    ids = docs.select(F.col(doc_col).alias("doc_id"))
-    m = (ids.join(comps,
-                  ids["doc_id"].cast("string") == comps["member_key"],
-                  "left")
-         .select("doc_id",
-                 F.coalesce("canon_key",
-                            F.col("doc_id").cast("string"))
-                 .alias("canon_key")))
-    reps = m.groupBy("canon_key").agg(F.min("doc_id").alias("cluster_id"))
-    return (m.join(reps, on="canon_key")
+    m = canonicalize_keys(
+        docs.select(F.col(doc_col).alias("doc_id"),
+                    F.col(doc_col).cast("string").alias("ckey")),
+        "ckey", comps)
+    reps = m.groupBy("ckey").agg(F.min("doc_id").alias("cluster_id"))
+    return (m.join(reps, on="ckey")
             .select("doc_id", "cluster_id",
                     (F.col("doc_id") == F.col("cluster_id")).alias("keep")))

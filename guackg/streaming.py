@@ -95,6 +95,10 @@ def stream_pages_to_triples(
     (s3.go:172-262). Everything downstream of `adapt` is the one
     shared extract → triples graph."""
     if source_spec is None:
+        if pages_dir is None:
+            raise ValueError(
+                "pass either pages_dir (file source) or source_spec "
+                "(broker/custom source)")
         if schema is None:
             schema = spark.read.parquet(pages_dir).schema
         source_spec = {
@@ -310,6 +314,10 @@ def stream_triples_upsert(
     from guackg import io as gio
 
     if source_spec is None:
+        if pages_dir is None:
+            raise ValueError(
+                "pass either pages_dir (file source) or source_spec "
+                "(broker/custom source)")
         source_spec = {
             "format": "parquet", "path": pages_dir,
             "schema": spark.read.parquet(pages_dir).schema,

@@ -417,3 +417,42 @@ def test_swap_crash_window_recovers_and_merge_refuses_delta_rebuild(
                          partition_by=["pred", "bucket"],
                          require_existing=True)
     assert not gio.table_exists(missing)
+
+
+def test_leaf_swap_crash_recovery(spark, base):
+    """A crash inside the per-leaf partition swap strands the OLD leaf
+    in a root-level _mswap_old_* helper. The next merge (or read) must
+    restore a leaf whose replacement never landed, drop the stale copy
+    of one whose replacement did, and never lose rows either way."""
+    table, df = base
+    n0 = spark.read.parquet(table).count()
+    leaves = sorted(os.path.join(d, b)
+                    for d in os.listdir(table) if d.startswith("pred=")
+                    for b in os.listdir(os.path.join(table, d))
+                    if b.startswith("bucket="))
+    victim, done = leaves[0], leaves[1]
+
+    # case 1: replacement never landed — leaf missing, copy stranded
+    aside = os.path.join(table, "_mswap_old_dead01")
+    os.makedirs(os.path.join(aside, os.path.dirname(victim)))
+    os.rename(os.path.join(table, victim), os.path.join(aside, victim))
+    # case 2: replacement landed — leaf present AND a stale copy aside
+    aside2 = os.path.join(table, "_mswap_old_dead02")
+    os.makedirs(os.path.join(aside2, os.path.dirname(done)))
+    import shutil
+    shutil.copytree(os.path.join(table, done), os.path.join(aside2, done))
+
+    delta = _bucketed(spark.createDataFrame(
+        [("k1", "beta", 777)], "k string, pred string, v int"))
+    gio.merge_upsert(spark, delta, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"],
+                     require_existing=True)
+    got = spark.read.parquet(table)
+    assert got.count() == n0          # stranded leaf restored, no dupes
+    assert got.filter("k = 'k1'").collect()[0].v == 777
+    assert not os.path.exists(aside) and not os.path.exists(aside2)
+    # reads are self-healing too
+    os.makedirs(os.path.join(aside, os.path.dirname(victim)))
+    os.rename(os.path.join(table, victim), os.path.join(aside, victim))
+    assert gio.read_table(spark, table).count() == n0
+    assert not os.path.exists(aside)
