@@ -37,14 +37,35 @@ def table_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    # self-healing reads: a crash inside a swap leaves the table (or a
-    # leaf) in a move-aside helper; a resume path that READS before its
-    # first write (e.g. the enrich journal replay reading materialize)
-    # must recover it here or fail on every retry. Cost when nothing is
-    # pending: one parent-dir glob + one root listdir.
+def _heal_table(path: str, sweep_tmp: bool = False) -> None:
+    """Single entry-point recovery, called by read_table, write_table
+    and merge_upsert alike, so 'which residue does this entry point
+    heal' is a one-place decision (the gap where reads healed swaps
+    but not compactions lost rows permanently: a post-compaction-crash
+    read_table silently missed the moved-aside leaf, and a downstream
+    overwrite deleted its only copy). Heals, in dependency order:
+    whole-table swaps, leaf merge-swaps, and root-level interrupted
+    compactions. Cost when nothing is pending: one parent-dir glob +
+    two root listdirs. `sweep_tmp` additionally removes dead
+    `.__tmp__*` siblings from prior writer crashes — writers only
+    (single-writer-per-table contract; a reader must never delete a
+    concurrent writer's live tmp)."""
     _recover_swap(path)
     _recover_merge_swap(path)
+    if os.path.isdir(path):
+        _recover_compaction(path, deep=False)
+    if sweep_tmp:
+        for stale in glob.glob(glob.escape(path) + ".__tmp__*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    # self-healing reads: a crash inside a swap or compaction leaves
+    # the table (or a leaf) in a move-aside helper; a resume path that
+    # READS before its first write (e.g. the enrich journal replay
+    # reading materialize) must recover it here or fail — or worse,
+    # compute a patch missing the aside leaf's rows — on every retry.
+    _heal_table(path)
     return spark.read.parquet(path)
 
 
@@ -67,9 +88,7 @@ def write_table(df: DataFrame, path: str,
     tmp dir and raises instead of swapping — the table is left exactly
     as it was (the Iceberg analog: a MERGE in the same transaction as
     a failed dependency never commits its snapshot)."""
-    _recover_swap(path)
-    for stale in glob.glob(glob.escape(path) + ".__tmp__*"):
-        shutil.rmtree(stale, ignore_errors=True)  # dead prior writes
+    _heal_table(path, sweep_tmp=True)
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
     w = df.write.mode("overwrite")
     if partition_by:
@@ -208,12 +227,7 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
     # without those rows; dead prior merges also leave .__tmp__*
     # siblings (full-size table copies) — sweep them (single-writer-
     # per-table contract, so no live merge's tmp can be here)
-    _recover_swap(path)
-    _recover_merge_swap(path)
-    for stale in glob.glob(glob.escape(path) + ".__tmp__*"):
-        shutil.rmtree(stale, ignore_errors=True)
-    if table_exists(path):
-        _recover_compaction(path, deep=False)  # one root listdir
+    _heal_table(path, sweep_tmp=True)
     new = df if assume_unique else df.dropDuplicates(keys)
     multi = partition_by is not None and len(partition_by) > 1
 

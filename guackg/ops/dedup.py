@@ -137,10 +137,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
        quadratic part that remains is the OUTPUT itself, produced by
        cheap joins. The group identity is a 128-bit fingerprint of
        the sorted array, never the array itself. Docs whose word set
-       is NULL or empty are excluded up front: they have no defined
-       word Jaccard (the exact-pair oracle emits nothing for them),
-       and fingerprint-grouping them would otherwise fabricate J=1.0
-       "duplicate" pairs among all empty documents.
+       is NULL (NULL text) are excluded up front: xxhash64(NULL array)
+       reduces to the seed constant, so fingerprint-grouping them
+       would fabricate one giant J=1.0 "duplicate" group. (Empty and
+       whitespace-only texts are NOT excluded — they tokenize to the
+       singleton [""], and pairing them at J=1.0 is exactly what the
+       exact word-Jaccard oracle emits for them.)
     1. band join carries ONLY (doc_id, band keys) — never the word
        arrays (a pair that collides in k bands would otherwise ship
        its arrays k times through the shuffle);
@@ -190,7 +192,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # and costs more than re-running tokenize+sort+hash per branch
     wsd = (docs.select("doc_id",
                        F.array_sort(_word_set(text_col)).alias("ws"))
-           .filter(F.col("ws").isNotNull() & (F.size("ws") > 0))
+           .filter(F.col("ws").isNotNull())
            .withColumn("fp1", F.xxhash64("ws"))
            .withColumn("fp2", F.xxhash64(F.lit(0x9E37), "ws")))
     rep_ids = wsd.groupBy("fp1", "fp2").agg(

@@ -65,6 +65,27 @@ def _reader(spark: SparkSession, source_spec: dict):
     return r.format(fmt).load()
 
 
+def _resolve_source_spec(spark: SparkSession, pages_dir: str | None,
+                         source_spec: dict | None,
+                         max_files_per_trigger: int | None,
+                         schema=None) -> dict:
+    """Shared entry-point validation: every streaming surface accepts
+    either `pages_dir` (the default file source) or an explicit
+    `source_spec` for `_reader`; the default parquet spec is built in
+    exactly one place so a new reader option cannot diverge between
+    entry points."""
+    if source_spec is not None:
+        return source_spec
+    if pages_dir is None:
+        raise ValueError(
+            "pass either pages_dir (file source) or source_spec "
+            "(broker/custom source)")
+    if schema is None:
+        schema = spark.read.parquet(pages_dir).schema
+    return {"format": "parquet", "path": pages_dir, "schema": schema,
+            "max_files_per_trigger": max_files_per_trigger}
+
+
 def stream_pages_to_triples(
     spark: SparkSession,
     pages_dir: str | None,
@@ -94,16 +115,8 @@ def stream_pages_to_triples(
     per-message unmarshalling of the reference's S3/SQS collector
     (s3.go:172-262). Everything downstream of `adapt` is the one
     shared extract → triples graph."""
-    if source_spec is None:
-        if pages_dir is None:
-            raise ValueError(
-                "pass either pages_dir (file source) or source_spec "
-                "(broker/custom source)")
-        if schema is None:
-            schema = spark.read.parquet(pages_dir).schema
-        source_spec = {
-            "format": "parquet", "path": pages_dir, "schema": schema,
-            "max_files_per_trigger": max_files_per_trigger}
+    source_spec = _resolve_source_spec(spark, pages_dir, source_spec,
+                                       max_files_per_trigger, schema)
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
     stream = _reader(spark, source_spec)
@@ -313,15 +326,8 @@ def stream_triples_upsert(
 
     from guackg import io as gio
 
-    if source_spec is None:
-        if pages_dir is None:
-            raise ValueError(
-                "pass either pages_dir (file source) or source_spec "
-                "(broker/custom source)")
-        source_spec = {
-            "format": "parquet", "path": pages_dir,
-            "schema": spark.read.parquet(pages_dir).schema,
-            "max_files_per_trigger": max_files_per_trigger}
+    source_spec = _resolve_source_spec(spark, pages_dir, source_spec,
+                                       max_files_per_trigger)
     checkpoint_dir = checkpoint_dir or os.path.join(workdir,
                                                     "_up_checkpoint")
     table = os.path.join(workdir, "triples_upsert")

@@ -456,3 +456,57 @@ def test_leaf_swap_crash_recovery(spark, base):
     os.rename(os.path.join(table, victim), os.path.join(aside, victim))
     assert gio.read_table(spark, table).count() == n0
     assert not os.path.exists(aside)
+
+
+def test_read_table_heals_crashed_compaction(spark, base):
+    """The review-found data-loss window: a compaction killed between
+    moving a leaf aside and the _commit marker leaves the leaf's ONLY
+    copy in _compact_old_*. Pure-read paths (read_table) must heal it
+    — a resume whose lineage short-circuits all merges otherwise reads
+    the table silently missing those rows, and a downstream overwrite
+    (e.g. apply_promotions rewriting materialize) then deletes the only
+    copy for good. Covers rollback (no marker) AND roll-forward
+    (marker present) through read_table alone."""
+    import shutil
+    table, _ = base
+    before = sorted((r.k, r.pred, r.v) for r in
+                    spark.read.parquet(table).collect())
+
+    leaf_parent = os.path.join(table, "pred=alpha")
+    leaf = next(os.path.join(leaf_parent, d)
+                for d in os.listdir(leaf_parent)
+                if d.startswith("bucket="))
+    rel = os.path.relpath(leaf, table)
+
+    # (a) uncommitted crash: leaf aside, half-written tmp, no marker
+    old_dir = os.path.join(table, "_compact_old_feed0001")
+    tmp_dir = os.path.join(table, "_compact_tmp_feed0001")
+    os.makedirs(os.path.join(old_dir, os.path.dirname(rel)), exist_ok=True)
+    os.rename(leaf, os.path.join(old_dir, rel))
+    os.makedirs(os.path.join(tmp_dir, rel))
+    assert len({(r.k, r.pred, r.v)
+                for r in spark.read.parquet(table).collect()}) < len(before)
+    got = sorted((r.k, r.pred, r.v)
+                 for r in gio.read_table(spark, table).collect())
+    assert got == before, "read_table lost the moved-aside leaf's rows"
+    assert not os.path.exists(old_dir) and not os.path.exists(tmp_dir)
+
+    # (b) committed crash: compacted copy in tmp with the marker
+    os.makedirs(os.path.join(old_dir, os.path.dirname(rel)), exist_ok=True)
+    os.rename(leaf, os.path.join(old_dir, rel))
+    os.makedirs(os.path.dirname(os.path.join(tmp_dir, rel)), exist_ok=True)
+    shutil.copytree(os.path.join(old_dir, rel), os.path.join(tmp_dir, rel))
+    open(os.path.join(tmp_dir, "_commit"), "w").close()
+    got = sorted((r.k, r.pred, r.v)
+                 for r in gio.read_table(spark, table).collect())
+    assert got == before
+    assert os.path.exists(leaf)
+    assert not os.path.exists(old_dir) and not os.path.exists(tmp_dir)
+
+    # (c) aside-without-tmp (crash between helper creations): restored
+    os.makedirs(os.path.join(old_dir, os.path.dirname(rel)), exist_ok=True)
+    os.rename(leaf, os.path.join(old_dir, rel))
+    got = sorted((r.k, r.pred, r.v)
+                 for r in gio.read_table(spark, table).collect())
+    assert got == before
+    assert not os.path.exists(old_dir)
