@@ -1315,7 +1315,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CASE
                     WHEN canonical_key LIKE 'ent:guac/%' THEN 'unlinked'
                     WHEN canonical_key LIKE 'ent:%' THEN
-                        regexp_extract(canonical_key, '^ent:([a-z]+)/', 1)
+                        COALESCE(NULLIF(regexp_extract(canonical_key,
+                                                       '^ent:([^/]+)/', 1),
+                                        ''), 'external')
                     WHEN canonical_key LIKE 'page:%' THEN 'page'
                     ELSE 'external' END AS kind,
                     canonical_key

@@ -138,6 +138,17 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
+    else:
+        # never fall through silently: before the fixpoint a member
+        # can still carry edges to several roots, and the
+        # dropDuplicates below would pick one ARBITRARILY — two
+        # members of one true component mapped to different canons,
+        # corrupting every downstream table with no error
+        raise RuntimeError(
+            f"connected_components did not converge after "
+            f"{MAX_ITERATIONS} star iterations ({prev[0]} edges); "
+            "raise MAX_ITERATIONS — star contraction needs "
+            "O(log n) rounds, so this indicates pathological input")
 
     # At the fixpoint every edge is (member, root).
     stars = edges  # u > v = root

@@ -262,7 +262,7 @@ def apply_promotions(
     re_res = resolve_triples(raw, links_new, comps_new).localCheckpoint()
     stats["affected_evidence_rows"] = re_res.count()
 
-    n_buckets = int(os.environ.get("GUACKG_EDGE_BUCKETS", "32"))
+    n_buckets = gio.edge_bucket_count(out("edges"))
     new_edges = build_edges(re_res, n_buckets=n_buckets)
     if include_page_graph:
         ext = gio.read_table(spark, out("extract"))

@@ -24,6 +24,9 @@ def neighbors(edges: DataFrame, key: str,
     """All adjacent canonical keys, optionally filtered to an allowed
     predicate set (guac's usingOnly edge bitmap, path.go:28-40 —
     becomes a pushed-down `pred IN (...)` partition filter)."""
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out|in|both, got "
+                         f"{direction!r}")
     e = edges
     if preds:
         e = e.filter(F.col("pred").isin(preds))

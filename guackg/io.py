@@ -59,6 +59,38 @@ def _heal_table(path: str, sweep_tmp: bool = False) -> None:
             shutil.rmtree(stale, ignore_errors=True)
 
 
+def edge_bucket_count(path: str, default: int | None = None) -> int:
+    """Bucket count for a bucket-partitioned table, PINNED for the
+    table's lifetime. The count decides which (pred, bucket) dir a key
+    lands in; if it drifts between runs (GUACKG_EDGE_BUCKETS changed),
+    a re-upserted key hashes to a DIFFERENT bucket dir and the
+    partition-pruned anti-join never sees the old row — silent
+    duplicate edges with no error. So the first use stamps the count
+    into a `<path>.buckets` sidecar (sibling file, invisible to
+    readers), and any later run whose count differs fails loudly.
+    The stamp is written before the first merge, so even a crash
+    mid-first-write leaves the intended count pinned."""
+    n = default if default is not None else \
+        int(os.environ.get("GUACKG_EDGE_BUCKETS", "32"))
+    meta = path + ".buckets"
+    if table_exists(path) and os.path.exists(meta):
+        with open(meta) as f:
+            pinned = int(f.read().strip())
+        if pinned != n:
+            raise RuntimeError(
+                f"bucket count {n} does not match the table's pinned "
+                f"{pinned} ({meta}); the count must stay fixed for a "
+                "table's lifetime or merge pruning silently duplicates "
+                "keys across bucket dirs")
+        return n
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    with open(meta, "w") as f:
+        f.write(str(n))
+    return n
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     # self-healing reads: a crash inside a swap or compaction leaves
     # the table (or a leaf) in a move-aside helper; a resume path that

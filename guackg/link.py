@@ -45,16 +45,43 @@ MAX_BUCKET = 200      # LSH bucket cap (logged, not silent)
 
 def normalize_surface_col(col: F.Column) -> F.Column:
     """JVM-side mirror of guackg.vocab.normalize_surface: lowercase,
-    strip [.,'], collapse whitespace, trim, drop leading 'the '/'dr '."""
+    strip [.,'], collapse whitespace, trim, drop a leading 'the ' then
+    a leading 'dr '. Exact-parity traps (tests/test_link.py parity
+    cases): Java's \\s is ASCII-only while Python's is Unicode — a
+    U+00A0 from &nbsp; survives html.unescape into surfaces, so the
+    (?U) flag is required or the dict join misses; and the prefix
+    strip is sequential-once-each ('the dr john' → 'john', but
+    'the the john' → 'the john'), which `(the )?(dr )?` mirrors where
+    `(the |dr )` (one strip) and `(the |dr )+` (unbounded) both
+    diverge from the Python loop."""
     c = F.lower(col)
     c = F.regexp_replace(c, r"[.,']", "")
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
-    c = F.regexp_replace(c, r"^(the |dr )", "")
+    c = F.trim(F.regexp_replace(c, r"(?U)\s+", " "))
+    c = F.regexp_replace(c, r"^(the )?(dr )?", "")
     return c
 
 
 def surface_key_col(norm: F.Column) -> F.Column:
     return F.concat(F.lit("sfc:"), norm)
+
+
+def dedupe_alias_dict(alias_dict: DataFrame) -> DataFrame:
+    """One canonical key per dictionary surface, deterministically —
+    the same tie rule as `relink_fallbacks`: a real identity beats a
+    synthesized ent:guac/ key, then lexicographic min. Without this,
+    a surface curated twice makes the two linkers DIVERGE: the
+    distributed join emits both keys (the equivalence edges then
+    merge the two entities via CC) while the driver path would keep
+    whichever row collect() returned first — same input, different
+    graph depending on vocabulary size. Both linkers dedupe through
+    here so the contract is one-place. O(|dict|) window — dwarfed by
+    the mention stream."""
+    w = Window.partitionBy("surface").orderBy(
+        F.col("canonical_key").startswith("ent:guac/").cast("int"),
+        "canonical_key")
+    return (alias_dict.select("surface", "canonical_key")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
 
 
 def mention_frequencies(triples: DataFrame) -> DataFrame:
@@ -145,6 +172,9 @@ def link_mentions(
     and let Catalyst/AQE pick the join strategy.
     """
     _maybe_bcast = F.broadcast if broadcast_dict else (lambda d: d)
+    # one key per surface, deterministically (see dedupe_alias_dict:
+    # a duplicate-surface dictionary must not emit multiple link rows)
+    alias_dict = dedupe_alias_dict(alias_dict)
     # mentions is consumed by both the dict join and the LSH left side;
     # both branches share one deduplication exchange (Catalyst reuses
     # the identical shuffle subtree — no checkpoint needed)
@@ -248,9 +278,16 @@ def link_mentions_driver(
     m = [r["norm"] for r in mentions.select("norm").collect()]
     d_rows = alias_dict.select(F.col("surface").alias("dnorm"),
                                "canonical_key").collect()
+    # same duplicate-surface rule as dedupe_alias_dict (real identity
+    # over ent:guac/, then lexicographic min) — NOT collect() row
+    # order, which varies with partition layout across runs
     dict_map: dict[str, str] = {}
     for r in d_rows:
-        dict_map.setdefault(r["dnorm"], r["canonical_key"])
+        k = r["canonical_key"]
+        cur = dict_map.get(r["dnorm"])
+        if cur is None or (k.startswith("ent:guac/"), k) < \
+                (cur.startswith("ent:guac/"), cur):
+            dict_map[r["dnorm"]] = k
 
     def shingles(s: str) -> set:
         p = "^" + s + "$"

@@ -37,10 +37,19 @@ from guackg.link import normalize_surface_col
 def kind_of_key(col: F.Column) -> F.Column:
     """Entity kind derived from the canonical-key namespace
     (ent:<kind>/<slug>; page:<sha256> is a document node; anything
-    else is an external identity)."""
+    else is an external identity). The extraction must NEVER yield an
+    empty string: kind is the nodes table's partition column, and an
+    empty partition value round-trips through the Hive layout as
+    __HIVE_DEFAULT_PARTITION__ → NULL, which the incremental merge's
+    affected-partition filter (isin on the delta's kinds) can never
+    match — old rows in that partition would be silently dropped on
+    the next upsert. Malformed ent: keys (no slash, empty kind
+    segment) therefore fall back to 'external'."""
+    kind = F.nullif(F.regexp_extract(col, r"^ent:([^/]+)/", 1),
+                    F.lit(""))
     return F.when(col.startswith("ent:guac/"), F.lit("unlinked")) \
         .when(col.startswith("ent:"),
-              F.regexp_extract(col, r"^ent:([a-z]+)/", 1)) \
+              F.coalesce(kind, F.lit("external"))) \
         .when(col.startswith("page:"), F.lit("page")) \
         .otherwise(F.lit("external"))
 

@@ -132,7 +132,11 @@ class KGPipeline:
         env = os.environ.get("GUACKG_SYNC_STAGES")
         if env in ("0", "1"):
             return env == "0"
-        return not self.spark.sparkContext.master.startswith("local[")
+        # single-JVM masters: bare "local" (ONE task slot — the worst
+        # possible place for concurrent jobs) and "local[...]";
+        # "local-cluster[...]" and real cluster URLs are multi-JVM
+        m = self.spark.sparkContext.master
+        return not (m == "local" or m.startswith("local["))
 
     def _spawn(self, fn) -> threading.Thread | None:
         if not self._async:
@@ -209,11 +213,17 @@ class KGPipeline:
             # distinguishable from 'never scanned' (non-en pages are
             # never scanned and are NOT tombstoned).
             def _tombstones():
+                # keyed per SNAPSHOT (url, warc_ts), not url alone: a
+                # re-crawl of a url whose earlier snapshot yielded
+                # triples must still be tombstoned when ITS text is
+                # clean, or 'scanned and clean' collapses back into
+                # 'never scanned' for that snapshot
                 scanned = out["extracted"].filter(F.col("lang") == "en") \
                     .select("url", "warc_ts")
                 return (scanned
-                        .join(out["triples"].select("url").distinct(),
-                              on="url", how="left_anti")
+                        .join(out["triples"]
+                              .select("url", "warc_ts").distinct(),
+                              on=["url", "warc_ts"], how="left_anti")
                         .withColumn("extractor", F.lit(EXTRACTOR_VERSION))
                         .withColumn("reason", F.lit("no_mentions")))
             # no downstream stage consumes tombstones → side thread
@@ -372,8 +382,10 @@ class KGPipeline:
             # bench corpus uses fewer, a 100-TB table thousands. It
             # must stay FIXED for a table's lifetime — changing it
             # moves keys across partition dirs and breaks the
-            # merge_upsert pruning contract (io.py docstring).
-            n_buckets = int(os.environ.get("GUACKG_EDGE_BUCKETS", "32"))
+            # merge_upsert pruning contract, so the count is pinned in
+            # a sidecar and a drifted env var fails loudly
+            # (io.edge_bucket_count).
+            n_buckets = gio.edge_bucket_count(self._out("edges"))
             # write-aligned build: both edge branches hash-distribute
             # on their (pred, bucket) sink tuple up front, so the
             # distinct aggregations AND the partitioned write all ride
@@ -399,7 +411,8 @@ class KGPipeline:
                                        broadcast_page_map=bcast_map,
                                        n_buckets=n_buckets,
                                        agg_salt=salt))
-            if os.environ.get("GUACKG_STAGE_PROBE") == "1":
+            probe = os.environ.get("GUACKG_STAGE_PROBE") == "1"
+            if probe:
                 # diagnostic split (probe-only): force the edge BUILD
                 # (aggs + joins) separately from the merge/write so
                 # stage_secs shows where edges_merge's seconds live
@@ -429,6 +442,11 @@ class KGPipeline:
                              commit_gate=nodes_gate,
                              commit_abort=nodes_failed)
             self.stage_secs["edges_merge"] = round(time.time() - t0, 2)
+            if probe:
+                # release the diagnostic cache: repeated runs in one
+                # session (the bench loop) would otherwise accumulate
+                # a full pre-merge edge build per run
+                edges.unpersist()
             # join the nodes thread BEFORE recording graph_merge: the
             # lineage row asserts both merges committed, and the error
             # append in the worker races the gate otherwise

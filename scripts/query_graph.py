@@ -60,8 +60,11 @@ def _tombstoned_page_keys(spark, workdir):
     table's page identity (no blob re-scan)."""
     tomb = gio.read_table(spark, os.path.join(workdir, "tombstones"))
     extract = gio.read_table(spark, os.path.join(workdir, "extract"))
-    return (tomb.select("url")
-            .join(extract.select("url", "page_sha256"), on="url")
+    # join per SNAPSHOT (url, warc_ts): tombstones are snapshot-keyed,
+    # and a url can have both a clean snapshot and a triple-bearing one
+    return (tomb.select("url", "warc_ts")
+            .join(extract.select("url", "warc_ts", "page_sha256"),
+                  on=["url", "warc_ts"])
             .select(F.concat(F.lit("page:"), F.col("page_sha256"))
                     .alias("key"))
             .distinct())

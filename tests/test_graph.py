@@ -215,3 +215,38 @@ def test_bfs_path_edges_full_properties(spark):
     assert [(r.subj_kind, r.obj_kind) for r in rows] == \
         [("org", "person"), ("person", "org")]
     assert bfs_path_edges(e, "c", "a") is None
+
+
+def test_neighbors_rejects_bad_direction(edges):
+    """neighbors validates direction like bfs_path does — a typo must
+    raise, not silently return the both-directions superset."""
+    from guackg.graph import neighbors
+    with pytest.raises(ValueError, match="direction"):
+        neighbors(edges, "ent:org/acme", direction="inbound")
+
+
+def test_kind_of_key_never_empty(spark):
+    """kind is the nodes table's PARTITION column: an empty-string
+    kind round-trips through the Hive layout as NULL and escapes the
+    incremental merge's affected-partition filter (silent row loss).
+    Malformed ent: keys must fall back, never extract to ''."""
+    from guackg.materialize import kind_of_key
+    keys = ["ent:org/acme",            # normal
+            "ent:software_component/x",  # non-[a-z] kind chars
+            "ent:Org2/x",              # uppercase + digit
+            "ent:/missing_kind",       # empty kind segment
+            "ent:noslash",             # no slash at all
+            "ent:guac/fallback",       # synthesized
+            "page:abc123", "something_else"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r.k: r.kind for r in
+           df.select("k", kind_of_key(F.col("k")).alias("kind")).collect()}
+    assert got["ent:org/acme"] == "org"
+    assert got["ent:software_component/x"] == "software_component"
+    assert got["ent:Org2/x"] == "Org2"
+    assert got["ent:/missing_kind"] == "external"
+    assert got["ent:noslash"] == "external"
+    assert got["ent:guac/fallback"] == "unlinked"
+    assert got["page:abc123"] == "page"
+    assert got["something_else"] == "external"
+    assert all(k is not None and k != "" for k in got.values())

@@ -510,3 +510,27 @@ def test_read_table_heals_crashed_compaction(spark, base):
                  for r in gio.read_table(spark, table).collect())
     assert got == before
     assert not os.path.exists(old_dir)
+
+
+def test_edge_bucket_count_pinned_for_table_lifetime(spark, base,
+                                                     monkeypatch):
+    """The bucket count decides which partition dir a key hashes to;
+    if it drifts between runs, a re-upserted key lands in a DIFFERENT
+    bucket dir and the pruned anti-join never retires the old row —
+    silent duplicates. First use stamps the count; a drifted
+    GUACKG_EDGE_BUCKETS must fail loudly, same-value runs pass."""
+    table, _ = base
+    monkeypatch.setenv("GUACKG_EDGE_BUCKETS", str(N_BUCKETS))
+    assert gio.edge_bucket_count(table) == N_BUCKETS   # stamps
+    assert os.path.exists(table + ".buckets")
+    assert gio.edge_bucket_count(table) == N_BUCKETS   # idempotent
+    monkeypatch.setenv("GUACKG_EDGE_BUCKETS", str(N_BUCKETS * 2))
+    with pytest.raises(RuntimeError, match="pinned"):
+        gio.edge_bucket_count(table)
+    # a stamp without a table is stale INTENT (crash before the first
+    # write): the new run's count wins instead of wedging the workdir
+    missing = table + "_never_written"
+    monkeypatch.setenv("GUACKG_EDGE_BUCKETS", "4")
+    assert gio.edge_bucket_count(missing) == 4
+    monkeypatch.setenv("GUACKG_EDGE_BUCKETS", "16")
+    assert gio.edge_bucket_count(missing) == 16

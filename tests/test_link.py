@@ -12,7 +12,15 @@ from guackg.vocab import normalize_surface
 
 def test_normalize_parity_jvm_vs_python(spark):
     samples = ["U.S.", "The United States", "Dr. Ada Lovelace",
-               "Acme  Corp.", "  Globex   Corporation ", "Widget X's"]
+               "Acme  Corp.", "  Globex   Corporation ", "Widget X's",
+               # Unicode whitespace: &nbsp; (U+00A0) survives
+               # html.unescape into surfaces — Java \s is ASCII-only
+               # unless the normalizer passes (?U)
+               "Ada\u00a0Lovelace", "\u00a0 padded\u00a0",
+               "tab\tand\nnewline",
+               # sequential-once-each prefix strip: 'the ' then 'dr '
+               "The Dr. John McCarthy", "the the beatles",
+               "dr the strange", "dr dr who", "the", "dr "]
     df = spark.createDataFrame([(s,) for s in samples], "s string")
     got = [r.n for r in
            df.select(normalize_surface_col(F.col("s")).alias("n")).collect()]
@@ -110,3 +118,32 @@ def test_driver_linker_matches_distributed(spark, alias_df):
         assert d1[norm][1] == "fallback" and d2[norm][1] == "lsh", \
             (norm, d1[norm], d2[norm])
         assert jaccard(norm, surf_of[d2[norm][0]]) >= JACCARD_THRESHOLD
+
+
+def test_duplicate_dict_surfaces_resolve_deterministically(spark):
+    """A surface curated twice (possible after enrichment promotions)
+    must resolve to ONE key, by the same rule in both linkers and in
+    relink_fallbacks: real identity over ent:guac/, then lexicographic
+    min — never collect() row order, and never two link rows that
+    would CC-merge the two entities."""
+    from guackg.link import link_mentions_driver
+    dup_dict = spark.createDataFrame(
+        [("ada lovelace", "ent:person/ada_lovelace"),
+         ("ada lovelace", "ent:guac/ada lovelace"),
+         ("ada lovelace", "ent:person/ada_byron"),
+         ("acme corp", "ent:org/acme")],
+        "surface string, canonical_key string")
+    mentions = spark.createDataFrame(
+        [("ada lovelace",), ("acme corp",)], "norm string")
+    want = {"ada lovelace": ("ent:person/ada_byron", "dict"),
+            "acme corp": ("ent:org/acme", "dict")}
+    for linker in (link_mentions, link_mentions_driver):
+        links, equiv = linker(mentions, dup_dict)
+        rows = links.collect()
+        assert len(rows) == 2, f"{linker.__name__}: one row per norm"
+        got = {r.norm: (r.canonical_key, r.method) for r in rows}
+        assert got == want, linker.__name__
+        # exactly one equivalence edge per linked surface — a dup dict
+        # must not fabricate an entity merge
+        eq = equiv.collect()
+        assert len([e for e in eq if e.key_a == "sfc:ada lovelace"]) == 1

@@ -413,3 +413,35 @@ def test_compaction_in_ingest_lifecycle(spark, pages_df, alias_df,
     assert edge_rows(wd) == edge_rows(wd2)
     if stats["dirs_compacted"]:
         assert stats["files_after"] < stats["files_before"]
+
+
+def test_tombstones_keyed_per_snapshot(spark, alias_df, tmp_path):
+    """A re-crawl of a url whose EARLIER snapshot yielded triples must
+    still be tombstoned when its own text is clean — tombstones key on
+    (url, warc_ts), not url, or 'scanned and clean' collapses back
+    into 'never scanned' for the re-crawled snapshot."""
+    import datetime
+    rich = ("<html><head><title>t</title></head><body>"
+            "<p>Ada Lovelace works for Acme Industries.</p>"
+            "</body></html>").encode()
+    clean = ("<html><head><title>t</title></head><body>"
+             "<p>nothing of substance here today</p>"
+             "</body></html>").encode()
+    t1 = datetime.datetime(2025, 1, 1)
+    t2 = datetime.datetime(2025, 6, 1)
+    pages = spark.createDataFrame(
+        [("http://recrawl.test/a", t1, rich, None, "en"),
+         ("http://recrawl.test/a", t2, clean, None, "en")],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string")
+    pipe = KGPipeline(spark, str(tmp_path / "wd"))
+    out = pipe.run(pages, alias_df, None,
+                   input_fingerprint="recrawl-test")
+    triples = {(r.url, r.warc_ts) for r in
+               out["triples"].select("url", "warc_ts")
+               .distinct().collect()}
+    tombs = {(r.url, r.warc_ts) for r in out["tombstones"].collect()}
+    assert ("http://recrawl.test/a", t1) in triples
+    assert ("http://recrawl.test/a", t2) not in triples
+    assert tombs == {("http://recrawl.test/a", t2)}, \
+        "clean re-crawl snapshot must be tombstoned"

@@ -83,7 +83,7 @@ def test_version_num_is_order_isomorphic(spark, versions):
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(st.text(
     alphabet="abcdefghijklmnopqrstuvwxyz"
-             "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,'-",
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,'-\t\u00a0",
     min_size=0, max_size=30), min_size=1, max_size=50))
 def test_normalize_surface_jvm_equals_python_and_idempotent(spark, texts):
     """The JVM normalizer (link.normalize_surface_col) and the Python
