@@ -1481,9 +1481,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT doc_id, content_hash, dup_count FROM (
                 SELECT doc_id, md5(text) AS content_hash,
-                       row_number() OVER (PARTITION BY md5(text)
-                                          ORDER BY doc_id) AS rn,
-                       count(*) OVER (PARTITION BY md5(text)) AS dup_count
+                       row_number() OVER (
+                           PARTITION BY coalesce(md5(text),
+                                                 'null:' || doc_id)
+                           ORDER BY doc_id) AS rn,
+                       count(*) OVER (
+                           PARTITION BY coalesce(md5(text),
+                                                 'null:' || doc_id))
+                           AS dup_count
                 FROM documents)
             WHERE rn = 1 ORDER BY doc_id
         """,
@@ -1643,7 +1648,8 @@ def oracle_sql() -> dict[str, str]:
             WITH feats AS (
                 SELECT doc_id,
                        length(text) AS n_chars_calc,
-                       len(string_split_regex(text, '\s+')) AS n_tokens,
+                       len(string_split_regex(trim(text), '\s+'))
+                           AS n_tokens,
                        len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
                        len(regexp_extract_all(lower(text), '\b({en})\b'))
                            AS n_stop

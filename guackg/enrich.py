@@ -204,7 +204,16 @@ def apply_promotions(
                    on="member_key")
              .filter(F.col("_ok") != F.col("_nk"))
              .select("_ok", "_nk"))
-        touched = a.unionByName(b).dropDuplicates(["_ok"]) \
+        # dedupe by PAIR, not by _ok: the old→new mapping is NOT
+        # functional — two fallback norms whose ent:guac/ keys an
+        # assertion joined into ONE old component can be promoted to
+        # two DIFFERENT identities in the same batch (the old entity
+        # splits). Deduping on _ok alone would drop one new key from
+        # the touched set, and its page-mention edges would be
+        # filtered out of the rebuild below. Downstream only consumes
+        # the _ok/_nk KEY SETS (retraction + affected marking), never
+        # the pairs as a map, so multi-valued _ok is safe.
+        touched = a.unionByName(b).dropDuplicates(["_ok", "_nk"]) \
             .localCheckpoint()
 
         # ---- journal the delta BEFORE the first table mutation: a
@@ -227,11 +236,11 @@ def apply_promotions(
     # under its synthesized identity) still upgrades match_level on
     # every edge it witnesses
     remap = touched.filter(F.col("_ok") != F.col("_nk"))
-    old_keys = remap.select(F.col("_ok").alias("k"))
-    new_keys = touched.select(F.col("_nk").alias("k"))
+    old_keys = remap.select(F.col("_ok").alias("k")).distinct()
+    new_keys = touched.select(F.col("_nk").alias("k")).distinct()
     both_keys = (touched.select(F.col("_ok").alias("k"))
                  .unionByName(new_keys).distinct())
-    stats["remapped_keys"] = remap.count()
+    stats["remapped_keys"] = old_keys.count()
 
     # ---- mutations begin (each idempotent given the journaled delta)
     gio.merge_upsert(spark, changed, out("link"), keys=["norm"],

@@ -37,7 +37,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # means every attached column comes from the SAME right row —
     # per-column fills would mix columns across right rows whenever a
     # newer right row has a null in one value column.
-    r_marked = right.select(
+    # NULL-timestamp right rows can never be "at or before" anything —
+    # unfiltered they sort nulls-FIRST and would attach to every left
+    # row (the DuckDB ASOF JOIN oracle returns no match for them)
+    r_marked = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
         F.struct(*([F.col(c) for c in value_cols]
                    + [F.col(right_ts).alias("_rts")])).alias("_r"),

@@ -15,13 +15,22 @@ from pyspark.sql import functions as F
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicates via content hash; keeps the smallest doc_id per
-    group (deterministic winner — guac's first-wins map dedup)."""
+    group (deterministic winner — guac's first-wins map dedup).
+
+    NULL text is NOT a duplicate of other NULL text: md5(NULL) is NULL
+    and a window would group all NULLs into one fabricated cluster,
+    silently discarding every NULL-text doc but one — so the group key
+    falls back to a per-doc sentinel (each NULL doc is its own
+    singleton, dup_count=1, content_hash stays NULL)."""
     h = F.md5(F.col(text_col))
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    grp = F.coalesce(h, F.concat(F.lit("null:"),
+                                 F.col("doc_id").cast("string")))
     return (docs.withColumn("content_hash", h)
-            .withColumn("rn", F.row_number().over(w))
+            .withColumn("_grp", grp)
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("_grp").orderBy("doc_id")))
             .withColumn("dup_count",
-                        F.count("*").over(Window.partitionBy("content_hash")))
+                        F.count("*").over(Window.partitionBy("_grp")))
             .filter(F.col("rn") == 1)
             .select("doc_id", "content_hash", "dup_count"))
 
@@ -341,24 +350,30 @@ def winnow_near_pairs(docs: DataFrame, text_col: str = "text",
     return out.select("doc_a", "doc_b", "n_shared", "overlap")
 
 
-def simhash(docs: DataFrame, text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word sets, pure SQL: for each bit, sum ±1
+_SIMHASH_BITS = 63  # bigint minus the sign bit — the value stays
+# non-negative so shiftrightunsigned banding and bit_count(xor)
+# hamming need no sign-bit special cases anywhere downstream
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """63-bit SimHash over word sets, pure SQL: for each bit, sum ±1
     contributions of xxhash64(word) bit tests; bit set iff sum > 0.
-    Hamming-close simhashes ⇒ near-dup docs (banding over 16-bit
-    chunks gives the LSH variant at scale)."""
+    Hamming-close simhashes ⇒ near-dup docs (banding over chunks gives
+    the LSH variant at scale). 63 bits, not 64, deliberately (see
+    _SIMHASH_BITS) — column name 'simhash64' is the storage type, not
+    the bit width."""
     base = docs.select("doc_id", _word_set(text_col).alias("ws"))
     # bit_count-style: aggregate(transform(...)) per bit, fold to a bigint
     bit_exprs = []
-    for i in range(bits):
+    for i in range(_SIMHASH_BITS):
         bit_exprs.append(
             f"(case when aggregate(transform(ws, w -> "
-            f"case when (xxhash64(w) & {1 << i if i < 63 else -(1 << 63)}L) != 0 "
+            f"case when (xxhash64(w) & {1 << i}L) != 0 "
             f"then 1 else -1 end), 0, (acc, x) -> acc + x) > 0 "
             f"then 1 else 0 end)")
     # fold bits into one bigint: sum(bit_i * 2^i) via shiftleft
     fold = " + ".join(
-        f"shiftleft(cast({e} as bigint), {i})" for i, e in enumerate(bit_exprs[:63]))
+        f"shiftleft(cast({e} as bigint), {i})" for i, e in enumerate(bit_exprs))
     return base.select("doc_id", F.expr(fold).alias("simhash64"))
 
 
@@ -375,7 +390,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     rows — shuffle keys are the chunk values (near-uniform), the join
     carries only (doc_id, simhash64)."""
     n_chunks = max_hamming + 1
-    bounds = [i * 63 // n_chunks for i in range(n_chunks + 1)]
+    bounds = [i * _SIMHASH_BITS // n_chunks for i in range(n_chunks + 1)]
     sh = simhash(docs, text_col)
     chunks = F.array(*[
         F.struct(

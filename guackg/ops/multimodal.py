@@ -103,7 +103,12 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
            "n_frames": [], "features": []}
     for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                   pdf["payload"]):
-        buf = np.frombuffer(payload, dtype=np.uint8)
+        # NULL payload (e.g. a doc with NULL text upstream): quarantine
+        # row — metadata handles it as 'unknown'; decode must not kill
+        # the task on np.frombuffer(None)
+        buf = (np.frombuffer(payload, dtype=np.uint8)
+               if payload is not None
+               else np.empty(0, dtype=np.uint8))
         body = buf[4:]  # strip magic
         if have_pil and kind == "image":  # pragma: no cover
             # real path: Image.open(io.BytesIO(payload)) → size/pixels
@@ -157,7 +162,7 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64,
             rows = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
-                if kind != "video":
+                if kind != "video" or payload is None:
                     continue
                 body = bytes(payload)[4:]
                 n = max(1, len(body) // frame_bytes)

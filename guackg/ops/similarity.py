@@ -111,27 +111,41 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
     exact cosine verify — the 100-TB path: the self-join shuffles on
     (table, bucket) keys (~corpus/2^P rows per bucket) instead of the
     O(n²) cross product. Recall rises with n_tables; every surviving
-    pair is exact-verified, so precision is 1.0 vs the exact op."""
+    pair is exact-verified, so precision is 1.0 vs the exact op.
+
+    The band self-join carries IDS ONLY (the minhash_lsh_pairs shape):
+    a true near-dup collides in most tables, so rows shipping vectors
+    through the join would pay the O(dim) payload — and the cosine —
+    up to n_tables times per pair; instead pairs dedup while 2 ints
+    wide, then the vectors join back once. NULL embeddings are
+    excluded up front (the sign-sketch UDF cannot bucket them; the
+    exact tier drops them via NULL cosine — same outcome)."""
     udf = _bucket_udf(n_planes, n_tables, seed, dim)
-    e = (embeddings
-         .select("vec_id",
-                 F.expr("transform(embedding, x -> cast(x as double))")
-                 .alias("ve"))
-         .withColumn("nrm", F.expr(_NORM.format(a="ve")))
-         .withColumn("bkt", udf(F.col("ve")))
-         .select("vec_id", "ve", "nrm",
-                 F.posexplode("bkt").alias("t", "bucket")))
-    a, b = e.alias("a"), e.alias("b")
+    base = (embeddings
+            .filter(F.col("embedding").isNotNull())
+            .select("vec_id",
+                    F.expr("transform(embedding, x -> cast(x as double))")
+                    .alias("ve"))
+            .withColumn("nrm", F.expr(_NORM.format(a="ve"))))
+    banded = (base.withColumn("bkt", udf(F.col("ve")))
+              .select("vec_id", F.posexplode("bkt").alias("t", "bucket")))
+    a, b = banded.alias("a"), banded.alias("b")
+    ids = (a.join(b, on=["t", "bucket"])
+           .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+           .select(F.col("a.vec_id").alias("vec_a"),
+                   F.col("b.vec_id").alias("vec_b"))
+           .dropDuplicates(["vec_a", "vec_b"]))
+    va = base.select(F.col("vec_id").alias("vec_a"),
+                     F.col("ve").alias("ve_a"), F.col("nrm").alias("nrm_a"))
+    vb = base.select(F.col("vec_id").alias("vec_b"),
+                     F.col("ve").alias("ve_b"), F.col("nrm").alias("nrm_b"))
     cos = F.expr(
-        "(" + _DOT.format(a="a.ve", b="b.ve") + ") / "
-        "nullif(a.nrm * b.nrm, 0.0)")
-    return (a.join(b, on=["t", "bucket"])
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    F.round(cos, 6).alias("cosine"))
+        "(" + _DOT.format(a="ve_a", b="ve_b") + ") / "
+        "nullif(nrm_a * nrm_b, 0.0)")
+    return (ids.join(va, on="vec_a").join(vb, on="vec_b")
+            .withColumn("cosine", F.round(cos, 6))
             .filter(F.col("cosine") >= threshold)
-            .dropDuplicates(["vec_a", "vec_b"]))
+            .select("vec_a", "vec_b", "cosine"))
 
 
 def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
@@ -230,8 +244,11 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame,
     of the corpus per bucket — instead of the full cross product."""
     udf = _bucket_udf(n_planes, n_tables, seed, dim)
 
-    e = embeddings.select("vec_id", F.col("embedding").alias("ve"))
-    q = queries.select("query_id", F.col("embedding").alias("qe"))
+    # NULL embeddings cannot be sign-sketched — exclude before the UDF
+    e = embeddings.filter(F.col("embedding").isNotNull()) \
+        .select("vec_id", F.col("embedding").alias("ve"))
+    q = queries.filter(F.col("embedding").isNotNull()) \
+        .select("query_id", F.col("embedding").alias("qe"))
     e_x = (e.withColumn("bkt", udf(F.col("ve")))
            .select("vec_id", "ve",
                    F.posexplode("bkt").alias("t", "bucket")))

@@ -44,7 +44,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword quality features + composite
     score — the C4-style quality-filter shape."""
     length = F.length(F.col(text_col))
-    n_tokens = F.size(F.split(F.col(text_col), r"\s+"))
+    # trimmed split — the same whitespace-token definition as
+    # token_counts; untrimmed, padded text gains a phantom '' token
+    # that skews stop_ratio/mean_word_len
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
     n_stop = _count_words(text_col, _EN)
     punct_ratio = F.round(n_punct / F.greatest(length, F.lit(1)), 6)

@@ -18,8 +18,10 @@ reference's npm-style `||` unions, depversion.go:93-130):
 
 Everything is JVM-side: versions and constraint bounds parse with
 regexp_extract into ONE sortable bigint (major·10^6 + minor·10^3 +
-patch — components < 1000 by contract, enforced with a validity
-filter), so the range test is two integer comparisons.
+patch — components < 1000 by contract, enforced by the parse regex's
+{1,3} digit cap: an out-of-range component quarantines the whole
+version/constraint to NULL), so the range test is two integer
+comparisons.
 
 Scale shape: the join is an EQUI-join on the package name (ranges
 only ever compare within a name), so it shuffles on name and the
@@ -34,8 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_VER_RE = r"^(\d+)\.(\d+)\.(\d+)$"
-_CON_RE = r"^(\^|~|>=|<|=)(\d+)\.(\d+)\.(\d+)$"
+# components < 1000 is the encoding's validity contract: the {1,3}
+# digit cap IS the filter — '1.2345.6' fails the match and quarantines
+# to NULL instead of silently colliding with '3.345.6' in the bigint
+_VER_RE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+_CON_RE = r"^(\^|~|>=|<|=)(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
 
 VERSION_SCALE_MINOR = 1_000
 VERSION_SCALE_MAJOR = 1_000_000

@@ -136,8 +136,13 @@ def parse_structured_json(text: str) -> list[tuple[str, str, str]]:
         return []
     if not isinstance(obj, dict):
         return []
+    triples = obj.get("triples")
+    if not isinstance(triples, list):
+        # {"triples": null} / a scalar: malformed, skip — iterating it
+        # would raise and kill the whole mapInPandas task, not the row
+        return []
     out: list[tuple[str, str, str]] = []
-    for t in obj.get("triples", []):
+    for t in triples:
         if not isinstance(t, dict):
             continue
         s, p, o = t.get("s"), t.get("p"), t.get("o")

@@ -49,3 +49,18 @@ def test_asof_no_row_python(spark):
     plan = asof_join(left, right, on="user", value_cols=["val"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+def test_asof_null_right_timestamp_never_matches(spark):
+    """A right row with a NULL timestamp is not 'at or before'
+    anything: unfiltered it sorts nulls-first and would attach to
+    every left row (the DuckDB ASOF JOIN returns no match)."""
+    import datetime
+    from guackg.ops.asof import asof_join
+    ts = lambda m: datetime.datetime(2025, 1, 1, 0, m, 0)
+    left = spark.createDataFrame([("k", ts(5))], "id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", None, 9), ("k", ts(10), 1)],
+        "id string, ts timestamp, v int")
+    rows = asof_join(left, right, on="id").collect()
+    assert len(rows) == 1
+    assert rows[0].asof_v is None and rows[0].asof_ts is None

@@ -286,3 +286,91 @@ def test_apply_promotions_second_round(spark, corpus, pages_df, alias_df,
     assert all(e[0] in allowed or e[2] in allowed for e in de ^ fe)
     stale = {f"ent:guac/{s}" for s in first + second}
     assert not {k for k, _ in dn} & stale
+
+
+def test_promotion_splits_assertion_merged_fallback_entity(
+        spark, corpus, pages_df, alias_df, tmp_path):
+    """The old→new key remap is NOT functional: an assertion can join
+    two fallback identities into ONE old component, and promoting both
+    norms to DIFFERENT real identities in one batch SPLITS that
+    entity. The touched-set must then carry BOTH new keys — deduping
+    on the old key alone dropped one arbitrarily, silently losing its
+    page-mention edges in the rebuilt graph."""
+    from guackg.vocab import normalize_surface
+    g = corpus["golden_triples"]
+    occ = {normalize_surface(s)
+           for s in set(g["subj_surface"]) | set(g["obj_surface"])}
+    ad = corpus["alias_dict"]
+    ents = sorted(set(ad[ad["surface"].isin(occ)]["canonical_key"]))[:2]
+    assert len(ents) == 2
+    removed = sorted(ad[ad["canonical_key"].isin(ents)]["surface"])
+    reduced = alias_df.filter(~F.col("surface").isin(removed))
+
+    wd = str(tmp_path / "split")
+    out1 = KGPipeline(spark, wd).run(pages_df, reduced, None,
+                                     input_fingerprint="split")
+    fellback = {r["norm"] for r in out1["links"]
+                .filter(F.col("method") == "fallback")
+                .select("norm").collect()} \
+        if "links" in out1 else \
+        {r["norm"] for r in
+         gio.read_table(spark, os.path.join(wd, "link"))
+         .filter(F.col("method") == "fallback").select("norm").collect()}
+    by_ent = {e: [s for s in ad[ad["canonical_key"] == e]["surface"]
+                  if s in fellback] for e in ents}
+    if not all(by_ent.values()):
+        pytest.skip("fixture did not produce a fallback per entity")
+    n1, n2 = by_ent[ents[0]][0], by_ent[ents[1]][0]
+
+    # the assertion joins the two synthesized identities into ONE old
+    # component — rebuild the workdir with it in the CC input
+    asrt = spark.createDataFrame(
+        [(f"ent:guac/{n1}", f"ent:guac/{n2}")],
+        "key_a string, key_b string")
+    wd = str(tmp_path / "split2")
+    KGPipeline(spark, wd).run(pages_df, reduced, asrt,
+                              input_fingerprint="split")
+
+    promoted = alias_df.filter(F.col("surface").isin([n1, n2])) \
+        .localCheckpoint()
+    assert promoted.select("canonical_key").distinct().count() == 2
+    enriched = reduced.unionByName(promoted)
+    stats = apply_promotions(spark, wd, promoted, enriched,
+                             assertions=asrt,
+                             input_fingerprint="split")
+    assert stats["changed_links"] == 2
+
+    # oracle: a from-scratch run with the enriched dictionary — the
+    # edges touching the two promoted identities must match exactly
+    wf = str(tmp_path / "splitfull")
+    KGPipeline(spark, wf).run(pages_df, enriched, asrt,
+                              input_fingerprint="split")
+    keys = {ents[0], ents[1]}
+
+    def _touching(w):
+        e = gio.read_table(spark, os.path.join(w, "edges"))
+        return {tuple(r) for r in
+                e.filter(F.col("subj_key").isin(list(keys))
+                         | F.col("obj_key").isin(list(keys)))
+                .select("subj_key", "pred", "obj_key", "n_evidence",
+                        "match_level").collect()}
+    de, fe = _touching(wd), _touching(wf)
+    assert de == fe, (
+        f"delta graph diverges on the split entities: "
+        f"missing={sorted(fe - de)[:4]} extra={sorted(de - fe)[:4]}")
+    # both promoted identities keep their page-mention edges
+    for k in keys:
+        assert any(e[1] == "mentions" and e[2] == k for e in de), \
+            f"page-mention edges lost for {k}"
+    # stale-identity parity with the from-scratch oracle: the
+    # assertion itself still references the synthesized keys, so BOTH
+    # runs keep the assertion-component's canon node (build_nodes
+    # emits component canons); the delta must neither keep more nor
+    # retract more than the full run does
+    stale = {f"ent:guac/{n1}", f"ent:guac/{n2}"}
+
+    def _nodes(w):
+        return {r.canonical_key for r in
+                gio.read_table(spark, os.path.join(w, "nodes"))
+                .select("canonical_key").collect()}
+    assert _nodes(wd) & stale == _nodes(wf) & stale

@@ -102,3 +102,19 @@ def test_embedding_near_dup_exact_vs_lsh_recall(spark):
     assert {(i, 1000 + i) for i in range(20)} <= exact
     assert approx <= exact  # exact-verified ⇒ precision 1.0
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_decode_and_frames_tolerate_null_payload(spark):
+    """NULL payloads (e.g. NULL-text docs upstream) quarantine instead
+    of killing the Arrow task: decode emits the empty-body stub row,
+    the frame sampler emits nothing for them."""
+    from guackg.ops.multimodal import decode_media, sample_frames
+    media = spark.createDataFrame(
+        [(1, "image", None), (2, "video", None),
+         (3, "video", b"\x00\x01\x02\x03" + b"x" * 512)],
+        "media_id long, kind string, payload binary")
+    dec = {r.media_id: r for r in decode_media(media).collect()}
+    assert set(dec) == {1, 2, 3}
+    assert dec[1].width == 16 and dec[1].n_frames == 1
+    frames = sample_frames(media).collect()
+    assert frames and all(r.media_id == 3 for r in frames)

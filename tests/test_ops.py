@@ -273,3 +273,41 @@ def test_minhash_incremental_equals_full_restricted(docs):
                                       new_ids=new).collect()}
     assert got == want
     assert len(want) > 0 and len(want) < len(full)
+
+
+def test_exact_dedup_null_texts_are_singletons(spark):
+    """md5(NULL) is NULL; grouping NULLs together would fabricate one
+    duplicate cluster and silently discard all NULL-text docs but one.
+    Each NULL doc must survive as its own singleton."""
+    from guackg.ops.dedup import exact_dedup
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id int, text string")
+    got = {r.doc_id: (r.content_hash, r.dup_count)
+           for r in exact_dedup(docs).collect()}
+    assert set(got) == {1, 3, 4, 5}
+    assert got[1][1] == 2
+    for d in (3, 4, 5):
+        assert got[d] == (None, 1)
+
+
+def test_embedding_lsh_ops_tolerate_null_embeddings(spark):
+    """A NULL embedding row must not kill the sign-sketch UDF: the LSH
+    near-dup and top-k ops exclude it (the exact tier drops it via
+    NULL cosine — same outcome, no crash)."""
+    from guackg.ops.similarity import (embedding_near_dup_lsh,
+                                       embedding_near_dup_pairs,
+                                       lsh_cosine_topk)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.001, 0.0]), (3, None)],
+        "vec_id int, embedding array<double>")
+    exact = {(r.vec_a, r.vec_b) for r in
+             embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in
+           embedding_near_dup_lsh(emb, threshold=0.9).collect()}
+    assert exact == {(1, 2)} and lsh <= exact
+    q = spark.createDataFrame([(10, [1.0, 0.0, 0.0]), (11, None)],
+                              "query_id int, embedding array<double>")
+    topk = lsh_cosine_topk(emb, q, k=2).collect()
+    assert {r.query_id for r in topk} == {10}
+    assert all(r.vec_id != 3 for r in topk)

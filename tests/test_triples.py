@@ -89,3 +89,14 @@ def test_lineage_columns_stamped(spark, pages_df):
     got = extract_triples(extract(pages_df)).limit(5).collect()
     for r in got:
         assert r.url and r.warc_ts is not None and r.extractor
+
+
+def test_structured_json_malformed_triples_value_skips():
+    """The never-crash row-wise-skip contract: a page whose 'triples'
+    value is not a list (null, scalar, object) must yield nothing, not
+    a TypeError that kills the whole mapInPandas task."""
+    from guackg.triples import parse_structured_json
+    for body in ('{"triples": null}', '{"triples": 5}',
+                 '{"triples": "x"}', '{"triples": {"s": 1}}',
+                 '{"no_triples": []}', '[1,2]', 'not json', ''):
+        assert parse_structured_json(body) == [], body

@@ -96,3 +96,21 @@ def test_version_gate_edges_rules(spark):
            for r in version_gate_edges(e, vers).collect()}
     assert got == {("v1", None), ("v1", "^1.0.0"),
                    ("v2", "=9.9.9 || ^2.0.0")}
+
+
+def test_component_overflow_quarantined(spark):
+    """Components >= 1000 overflow the bigint encoding and would
+    collide ('1.2345.6' == '3.345.6' numerically): the parse regex
+    caps digits, so out-of-contract versions AND constraints
+    quarantine to no-match instead of silently matching wrong."""
+    from guackg.ops.version import version_range_join
+    versions = spark.createDataFrame(
+        [("p", "1.2345.6"), ("p", "3.345.6")], "name string, version string")
+    deps = spark.createDataFrame(
+        [(1, "p", "=3.345.6"), (2, "p", "=1.2345.6")],
+        "dep_id int, name string, constraint string")
+    got = {(r.dep_id, r.version) for r in
+           version_range_join(deps, versions).collect()}
+    # dep 1 matches ONLY the true 3.345.6; the overflowing version and
+    # the overflowing constraint match nothing
+    assert got == {(1, "3.345.6")}
