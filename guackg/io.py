@@ -67,15 +67,39 @@ def edge_bucket_count(path: str, default: int | None = None) -> int:
     partition-pruned anti-join never sees the old row — silent
     duplicate edges with no error. So the first use stamps the count
     into a `<path>.buckets` sidecar (sibling file, invisible to
-    readers), and any later run whose count differs fails loudly.
-    The stamp is written before the first merge, so even a crash
-    mid-first-write leaves the intended count pinned."""
+    readers), and any later run whose count differs fails loudly —
+    as does a table whose sidecar went missing (restored/copied
+    without the sibling): guessing a count there would be the same
+    silent drift. The stamp is written atomically before the first
+    merge, so even a crash mid-first-write leaves the intended count
+    pinned."""
     n = default if default is not None else \
         int(os.environ.get("GUACKG_EDGE_BUCKETS", "32"))
     meta = path + ".buckets"
-    if table_exists(path) and os.path.exists(meta):
-        with open(meta) as f:
-            pinned = int(f.read().strip())
+    pinned = None
+    if os.path.exists(meta):
+        try:
+            with open(meta) as f:
+                pinned = int(f.read().strip())
+        except ValueError:
+            # truncated sidecar (crash mid-write under the old
+            # non-atomic writer); recoverable only when the table
+            # itself doesn't exist yet
+            pinned = None
+    if table_exists(path):
+        if pinned is None:
+            # a table WITHOUT a readable pin must fail loudly: falling
+            # through to re-stamp the current env value would silently
+            # re-bucket re-upserted keys into different partition dirs
+            # — the exact duplicate-edge drift the pin exists to stop
+            # (e.g. the table was copied/restored without its sibling
+            # sidecar, which lives OUTSIDE the table dir)
+            raise RuntimeError(
+                f"{path} exists but its bucket-count sidecar ({meta}) "
+                "is missing or unreadable; restore the sidecar with the"
+                " count the table was written with (its bucket= dirs "
+                "show the original range) — re-pinning a guessed count "
+                "would silently duplicate keys across bucket dirs")
         if pinned != n:
             raise RuntimeError(
                 f"bucket count {n} does not match the table's pinned "
@@ -83,11 +107,17 @@ def edge_bucket_count(path: str, default: int | None = None) -> int:
                 "table's lifetime or merge pruning silently duplicates "
                 "keys across bucket dirs")
         return n
+    if pinned == n:
+        return n
+    # no table yet: (re-)stamp atomically so a crash mid-write can
+    # never leave a truncated pin next to a table that later appears
     parent = os.path.dirname(path)
     if parent:
         os.makedirs(parent, exist_ok=True)
-    with open(meta, "w") as f:
+    tmp = f"{meta}.tmp{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
         f.write(str(n))
+    os.replace(tmp, meta)
     return n
 
 
@@ -126,13 +156,21 @@ def write_table(df: DataFrame, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
+    _await_gate(tmp, path, commit_gate, commit_abort)
+    _swap_in(tmp, path)
+
+
+def _await_gate(tmp: str, path: str, commit_gate, commit_abort) -> None:
+    """Shared gate protocol for every gated sink (write_table and
+    merge_upsert must never diverge on failure semantics): wait for
+    the prerequisite commit, and if it failed, discard the tmp dir and
+    raise instead of swapping."""
     if commit_gate is not None:
         commit_gate.wait()
     if commit_abort is not None and commit_abort.is_set():
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(f"commit aborted for {path}: gated "
                            "prerequisite commit failed")
-    _swap_in(tmp, path)
 
 
 def _swap_in(tmp: str, path: str) -> None:
@@ -265,14 +303,18 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
 
     def _spread(frame: DataFrame) -> DataFrame:
         # hash-repartition on the partition tuple (+ salt) before the
-        # fan-out write (AQE coalesces small buckets)
+        # fan-out write (AQE coalesces small buckets) — applied for
+        # ANY partitioned sink, single- or multi-level: an unspread
+        # partitionBy write emits one file per (task × value) pair, so
+        # a 200-task frame over a 64-bucket table leaves O(10^4) files
+        # per merge and every later batch re-reads them
         parts = [F.col(c) for c in partition_by]
         if fanout > 1:
             parts.append(F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
                                 F.lit(fanout)))
         return frame.repartition(*parts)
 
-    if multi and not pre_distributed:
+    if partition_by and not pre_distributed:
         new = _spread(new)
     if not table_exists(path):
         if require_existing:
@@ -288,53 +330,62 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
                     commit_abort=commit_abort)
         return
     old = read_table(spark, path)
-    # rows that must NOT survive from the old table: replaced keys
-    # plus (when retracting) deleted keys
-    anti = new.select(keys).distinct()
-    if delete_keys is not None:
-        anti = anti.unionByName(delete_keys.select(keys).distinct())
-    if not partition_by:
-        merged = old.join(anti, on=keys, how="left_anti").unionByName(new)
-        write_table(merged, path, partition_by, commit_gate=commit_gate,
-                    commit_abort=commit_abort)
-        return
+    # The delta plan is executed by up to THREE separate jobs below
+    # (the affected-tuples collect, the anti-keys subplan, the union
+    # write) — with no exchange reuse across jobs, an expensive delta
+    # (the full build_edges aggregation on an incremental ingest, or
+    # every streaming micro-batch) would be recomputed each time.
+    # Persist it once; the first action materializes the cache.
+    new = new.persist()
+    try:
+        # rows that must NOT survive from the old table: replaced keys
+        # plus (when retracting) deleted keys
+        anti = new.select(keys).distinct()
+        if delete_keys is not None:
+            anti = anti.unionByName(delete_keys.select(keys).distinct())
+        if not partition_by:
+            merged = old.join(anti, on=keys,
+                              how="left_anti").unionByName(new)
+            write_table(merged, path, partition_by,
+                        commit_gate=commit_gate,
+                        commit_abort=commit_abort)
+            return
 
-    # partition-pruned merge: only partition TUPLES containing new
-    # keys (or deletes) are touched. The affected-values collect is
-    # bounded by the partition columns' cardinality (kind /
-    # pred×bucket: O(100)) — not by data size.
-    affected = new.select(*partition_by).distinct().collect()
-    if delete_keys is not None:
-        seen = {tuple(r) for r in affected}
-        affected = affected + [
-            r for r in delete_keys.select(*partition_by).distinct()
-            .collect() if tuple(r) not in seen]
-    if multi:
-        # per first-level value, an IN-list on the second level —
-        # Catalyst turns this into partition-directory pruning
-        by_head: dict[object, list] = {}
+        # partition-pruned merge: only partition TUPLES containing new
+        # keys (or deletes) are touched. The affected-values collect is
+        # bounded by the partition columns' cardinality (kind /
+        # pred×bucket: O(100)) — not by data size.
+        affected = new.select(*partition_by).distinct().collect()
+        if delete_keys is not None:
+            seen = {tuple(r) for r in affected}
+            affected = affected + [
+                r for r in delete_keys.select(*partition_by).distinct()
+                .collect() if tuple(r) not in seen]
+        # per head tuple (all levels but the last), an IN-list on the
+        # leaf level — Catalyst turns this into partition-directory
+        # pruning. Works for ANY partition depth (a two-level
+        # hardcode here would silently over-select — and thus
+        # redundantly rewrite — every deeper sibling).
+        by_head: dict[tuple, list] = {}
         for r in affected:
-            by_head.setdefault(r[0], []).append(r[1])
+            by_head.setdefault(tuple(r[:-1]), []).append(r[-1])
         pred = None
         for head, tails in by_head.items():
-            clause = ((F.col(partition_by[0]) == head)
-                      & F.col(partition_by[1]).isin(tails))
+            clause = F.col(partition_by[-1]).isin(tails)
+            for i, c in enumerate(partition_by[:-1]):
+                clause = (F.col(c) == head[i]) & clause
             pred = clause if pred is None else (pred | clause)
-    else:
-        pred = F.col(partition_by[0]).isin([r[0] for r in affected])
-    old_hit = old.filter(pred)
-    merged = old_hit.join(anti, on=keys, how="left_anti").unionByName(new)
-    if multi:
+        old_hit = old.filter(pred)
+        merged = old_hit.join(anti, on=keys,
+                              how="left_anti").unionByName(new)
         merged = _spread(merged)
 
-    tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
-    if commit_gate is not None:
-        commit_gate.wait()
-    if commit_abort is not None and commit_abort.is_set():
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(f"commit aborted for {path}: gated "
-                           "prerequisite commit failed")
+        tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite") \
+              .partitionBy(*partition_by).parquet(tmp)
+    finally:
+        new.unpersist()
+    _await_gate(tmp, path, commit_gate, commit_abort)
     # swap ONLY the affected partition subdirs into place (per-dir
     # atomic rename — the parquet analog of Iceberg's partition-level
     # snapshot commit), walking the partition tree to the leaf level

@@ -60,10 +60,22 @@ class Lineage:
         parts: list[dict]
         if table_path and os.path.isdir(table_path):
             import pyarrow.parquet as pq
-            files = sorted(
-                os.path.join(r, fn)
-                for r, _, fs in os.walk(table_path) for fn in fs
-                if fn.endswith(".parquet"))
+
+            def _data_files(root):
+                # match Spark's file-index view: '_'/'.'-prefixed dirs
+                # are invisible (io.py's crash-recovery helpers —
+                # _mswap_old_*, _compact_old_* — park moved-aside row
+                # copies there; a swallowed cleanup would otherwise
+                # DOUBLE-COUNT those rows, and total_rows feeds real
+                # decisions, e.g. the pipeline's broadcast budget)
+                for r, dirs, fs in os.walk(root):
+                    dirs[:] = [d for d in dirs
+                               if not d.startswith(("_", "."))]
+                    for fn in fs:
+                        if fn.endswith(".parquet"):
+                            yield os.path.join(r, fn)
+
+            files = sorted(_data_files(table_path))
             parts = [{"partition_id": i,
                       "rows": pq.read_metadata(f).num_rows}
                      for i, f in enumerate(files)]

@@ -361,11 +361,17 @@ class KGPipeline:
                         nodes = nodes.unionByName(page_node_rows(page_keys))
                     # assume_unique: build_nodes dedups on canonical_key
                     # and the page: namespace is disjoint from every
-                    # entity namespace
+                    # entity namespace. fanout: kind has cardinality
+                    # O(10) and the sink now spreads single-level
+                    # partitioning too, so without a salt the write
+                    # would serialize into one task per kind
                     gio.merge_upsert(self.spark, nodes, self._out("nodes"),
                                      keys=["canonical_key"],
                                      partition_by=["kind"],
-                                     assume_unique=True)
+                                     assume_unique=True,
+                                     fanout=max(1, min(
+                                         8, self.spark.sparkContext
+                                         .defaultParallelism)))
                     self.stage_secs["nodes_merge"] = round(time.time() - t0, 2)
                 except BaseException:
                     nodes_failed.set()   # ordering: abort before gate

@@ -73,9 +73,22 @@ def _resolve_source_spec(spark: SparkSession, pages_dir: str | None,
     either `pages_dir` (the default file source) or an explicit
     `source_spec` for `_reader`; the default parquet spec is built in
     exactly one place so a new reader option cannot diverge between
-    entry points."""
+    entry points.
+
+    With an explicit spec, the entry point's own kwargs FILL IN keys
+    the spec doesn't set (they must not be silently dropped: a caller
+    passing source_spec + max_files_per_trigger=10 expects the bounded
+    queue-consumer drain, not one giant micro-batch) — a key present
+    in the spec wins, since the spec is the deploy-time source of
+    truth."""
     if source_spec is not None:
-        return source_spec
+        spec = dict(source_spec)
+        if spec.get("max_files_per_trigger") is None and \
+                max_files_per_trigger is not None:
+            spec["max_files_per_trigger"] = max_files_per_trigger
+        if spec.get("schema") is None and schema is not None:
+            spec["schema"] = schema
+        return spec
     if pages_dir is None:
         raise ValueError(
             "pass either pages_dir (file source) or source_spec "
@@ -84,6 +97,19 @@ def _resolve_source_spec(spark: SparkSession, pages_dir: str | None,
         schema = spark.read.parquet(pages_dir).schema
     return {"format": "parquet", "path": pages_dir, "schema": schema,
             "max_files_per_trigger": max_files_per_trigger}
+
+
+def _pages_to_triples(stream, adapt=None):
+    """The ONE shared decode → quarantine → extract → triples graph
+    both streaming ingest surfaces run (a new column or quarantine
+    rule lands in both or neither). `adapt` is the bus-message decode
+    step: raw source rows → page rows (url, warc_ts, html, text,
+    lang); file sources need none."""
+    if adapt is not None:
+        stream = adapt(stream)
+    ok, _bad = split_quarantine(extract(stream))
+    return extract_triples(
+        ok.select("url", "warc_ts", "lang", "extracted_text"))
 
 
 def stream_pages_to_triples(
@@ -119,12 +145,7 @@ def stream_pages_to_triples(
                                        max_files_per_trigger, schema)
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
-    stream = _reader(spark, source_spec)
-    if adapt is not None:
-        stream = adapt(stream)
-    ok, _bad = split_quarantine(extract(stream))
-    triples = extract_triples(
-        ok.select("url", "warc_ts", "lang", "extracted_text"))
+    triples = _pages_to_triples(_reader(spark, source_spec), adapt)
 
     return (triples.writeStream
             .format("parquet")
@@ -137,11 +158,13 @@ def stream_pages_to_triples(
 
 def stream_windowed_mention_counts(
     spark: SparkSession,
-    events_dir: str,
+    events_dir: str | None,
     out_dir: str,
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    source_spec: dict | None = None,
 ):
     """Watermarked tumbling-window aggregation over an event stream —
     the late-data-tolerant counterpart of the batch
@@ -154,12 +177,12 @@ def stream_windowed_mention_counts(
     watermark is the Spark-native answer.)
 
     Returns the StreamingQuery (AvailableNow: drains then stops)."""
-    schema = spark.read.parquet(events_dir).schema
+    source_spec = _resolve_source_spec(spark, events_dir, source_spec,
+                                       max_files_per_trigger)
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_wm_checkpoint")
 
     from pyspark.sql import functions as F
-    stream = _reader(spark, {"format": "parquet", "path": events_dir,
-                             "schema": schema})
+    stream = _reader(spark, source_spec)
     # watermarks require TIMESTAMP (with tz); NTZ sources cast through
     # the UTC session zone losslessly
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -183,12 +206,13 @@ def stream_windowed_mention_counts(
 
 def stream_stateful_sessions(
     spark: SparkSession,
-    events_dir: str,
+    events_dir: str | None,
     out_dir: str,
     gap_minutes: int = 30,
     watermark_delay: str = "2 hours",
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    source_spec: dict | None = None,
 ):
     """Custom stateful streaming operator: gap-based sessionization via
     `applyInPandasWithState` — per-user session state lives in the
@@ -220,13 +244,12 @@ def stream_stateful_sessions(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    schema = spark.read.parquet(events_dir).schema
+    source_spec = _resolve_source_spec(spark, events_dir, source_spec,
+                                       max_files_per_trigger)
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_ss_checkpoint")
     gap_us = gap_minutes * 60 * 1_000_000
 
-    stream = _reader(spark, {"format": "parquet", "path": events_dir,
-                             "schema": schema,
-                             "max_files_per_trigger": max_files_per_trigger})
+    stream = _reader(spark, source_spec)
     stream = (stream
               .withColumn("ts", F.col("ts").cast("timestamp"))
               .withWatermark("ts", watermark_delay)
@@ -332,14 +355,7 @@ def stream_triples_upsert(
                                                     "_up_checkpoint")
     table = os.path.join(workdir, "triples_upsert")
 
-    stream = _reader(spark, source_spec)
-    if adapt is not None:
-        # the bus-message decode step — same contract as
-        # stream_pages_to_triples: raw source rows → page rows
-        stream = adapt(stream)
-    ok, _bad = split_quarantine(extract(stream))
-    triples = extract_triples(
-        ok.select("url", "warc_ts", "lang", "extracted_text"))
+    triples = _pages_to_triples(_reader(spark, source_spec), adapt)
 
     def sink(batch_df, batch_id):
         batch_df = batch_df.withColumn(

@@ -517,12 +517,18 @@ def test_edge_bucket_count_pinned_for_table_lifetime(spark, base,
     """The bucket count decides which partition dir a key hashes to;
     if it drifts between runs, a re-upserted key lands in a DIFFERENT
     bucket dir and the pruned anti-join never retires the old row —
-    silent duplicates. First use stamps the count; a drifted
-    GUACKG_EDGE_BUCKETS must fail loudly, same-value runs pass."""
-    table, _ = base
+    silent duplicates. First use stamps the count BEFORE the first
+    write (the pipeline's call order); a drifted GUACKG_EDGE_BUCKETS
+    must fail loudly, same-value runs pass."""
+    table, df = base
     monkeypatch.setenv("GUACKG_EDGE_BUCKETS", str(N_BUCKETS))
+    # the real call order: stamp first, table appears after
+    import shutil
+    shutil.rmtree(table)
     assert gio.edge_bucket_count(table) == N_BUCKETS   # stamps
     assert os.path.exists(table + ".buckets")
+    gio.merge_upsert(spark, df, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"])
     assert gio.edge_bucket_count(table) == N_BUCKETS   # idempotent
     monkeypatch.setenv("GUACKG_EDGE_BUCKETS", str(N_BUCKETS * 2))
     with pytest.raises(RuntimeError, match="pinned"):
@@ -534,3 +540,85 @@ def test_edge_bucket_count_pinned_for_table_lifetime(spark, base,
     assert gio.edge_bucket_count(missing) == 4
     monkeypatch.setenv("GUACKG_EDGE_BUCKETS", "16")
     assert gio.edge_bucket_count(missing) == 16
+
+
+def test_edge_bucket_count_lost_sidecar_fails_loudly(spark, base,
+                                                     monkeypatch):
+    """A table whose .buckets sidecar is missing or unreadable must
+    REFUSE to merge, not silently re-pin the current env value: the
+    sidecar is a sibling file, so a copy/restore of the table dir
+    alone loses it, and a guessed count re-buckets re-upserted keys
+    into different partition dirs — duplicates with no error."""
+    table, _ = base
+    monkeypatch.setenv("GUACKG_EDGE_BUCKETS", str(N_BUCKETS))
+    with open(table + ".buckets", "w") as f:
+        f.write(str(N_BUCKETS))
+    assert gio.edge_bucket_count(table) == N_BUCKETS
+    os.remove(table + ".buckets")
+    with pytest.raises(RuntimeError, match="sidecar"):
+        gio.edge_bucket_count(table)
+    # a truncated sidecar (crash mid-write) is the same condition
+    open(table + ".buckets", "w").close()
+    with pytest.raises(RuntimeError, match="sidecar"):
+        gio.edge_bucket_count(table)
+    # …but WITHOUT a table it's stale intent: re-stamp and move on
+    missing = table + "_never_written2"
+    open(missing + ".buckets", "w").close()
+    assert gio.edge_bucket_count(missing) == N_BUCKETS
+    with open(missing + ".buckets") as f:
+        assert int(f.read()) == N_BUCKETS
+
+
+def test_single_level_merge_spreads_to_fanout_files(spark, tmp_path):
+    """Single-level partitioned merges honor the fanout contract too:
+    the old∪new union is hash-spread on (partition col [+ salt]), so a
+    partition dir gains at most `fanout` files per merge instead of
+    one per shuffle task — the streaming upsert sink runs this path
+    every micro-batch, where an unspread write compounds into an
+    O(batches × tasks) small-file explosion."""
+    table = str(tmp_path / "kinded")
+    df = spark.createDataFrame(
+        [(f"k{i}", ["a", "b"][i % 2], i) for i in range(300)],
+        "k string, kind string, v int").repartition(16)
+    gio.merge_upsert(spark, df, table, keys=["k"], partition_by=["kind"])
+    delta = spark.createDataFrame(
+        [(f"k{i}", ["a", "b"][i % 2], i + 1000) for i in range(0, 300, 3)],
+        "k string, kind string, v int").repartition(16)
+    gio.merge_upsert(spark, delta, table, keys=["k"],
+                     partition_by=["kind"], fanout=2)
+    for kind in ("a", "b"):
+        leaf = os.path.join(table, f"kind={kind}")
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) <= 2, (kind, files)
+    got = sorted((r.k, r.kind, r.v) for r in
+                 gio.read_table(spark, table).collect())
+    want = {r[0]: r for r in
+            ((f"k{i}", ["a", "b"][i % 2], i) for i in range(300))}
+    for i in range(0, 300, 3):
+        want[f"k{i}"] = (f"k{i}", ["a", "b"][i % 2], i + 1000)
+    assert got == sorted(want.values())
+
+
+def test_lineage_counts_ignore_recovery_helper_dirs(spark, tmp_path):
+    """Lineage.record's footer walk must see exactly what Spark's file
+    index sees: '_'/'.'-prefixed dirs are invisible. io.py's crash
+    helpers (_mswap_old_*, _compact_old_*) park moved-aside COPIES of
+    rows there and clean up with ignore_errors — a swallowed cleanup
+    would double-count those rows, and total_rows feeds real decisions
+    (the pipeline's broadcast-budget check)."""
+    from guackg.lineage import Lineage
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(i,) for i in range(50)], "v int")
+    gio.write_table(df, table)
+    lin = Lineage(str(tmp_path))
+    clean = lin.record("s", "fp", None, table_path=table)
+    assert clean["total_rows"] == 50
+    # plant stale helper residue holding a full copy of the data
+    aside = os.path.join(table, "_mswap_old_deadbeef")
+    os.makedirs(aside)
+    for f in os.listdir(table):
+        if f.endswith(".parquet"):
+            import shutil
+            shutil.copy(os.path.join(table, f), os.path.join(aside, f))
+    again = lin.record("s", "fp", None, table_path=table)
+    assert again["total_rows"] == 50, "helper-dir rows double-counted"

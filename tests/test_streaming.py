@@ -412,3 +412,23 @@ def test_stream_upsert_sink_prunes_buckets(spark, pages_df,
     assert untouched, "test needs at least one untouched bucket"
     for d in untouched:
         assert after[d] == before[d], f"untouched {d} was rewritten"
+
+
+def test_resolve_source_spec_merges_entrypoint_kwargs(spark):
+    """An explicit source_spec must not silently drop the entry
+    point's own kwargs: source_spec + max_files_per_trigger=N is the
+    bounded queue-consumer drain, not one giant micro-batch. Spec keys
+    win (deploy-time source of truth); absent keys fill from kwargs."""
+    from guackg.streaming import _resolve_source_spec
+    spec = {"format": "parquet", "path": "/x", "schema": "url string"}
+    got = _resolve_source_spec(spark, None, spec,
+                               max_files_per_trigger=7)
+    assert got["max_files_per_trigger"] == 7
+    assert got["schema"] == "url string"
+    # a spec that sets the key itself is untouched
+    spec2 = dict(spec, max_files_per_trigger=3)
+    got2 = _resolve_source_spec(spark, None, spec2,
+                                max_files_per_trigger=7)
+    assert got2["max_files_per_trigger"] == 3
+    # the caller's dict is never mutated
+    assert "max_files_per_trigger" not in spec
