@@ -361,6 +361,17 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
             affected = affected + [
                 r for r in delete_keys.select(*partition_by).distinct()
                 .collect() if tuple(r) not in seen]
+        if not affected:
+            # zero new rows and zero deletes: MERGE of an empty delta
+            # is a no-op (an empty streaming micro-batch, a promotion
+            # whose keys carry no evidence rows). Without this guard
+            # the pruning predicate below would be None and the merge
+            # would crash — but the gate CONTRACT still applies: an
+            # aborted prerequisite must fail this merge, not no-op it
+            # (the caller's lineage must not record success).
+            _await_gate(f"{path}.__tmp__never_written", path,
+                        commit_gate, commit_abort)
+            return
         # per head tuple (all levels but the last), an IN-list on the
         # leaf level — Catalyst turns this into partition-directory
         # pruning. Works for ANY partition depth (a two-level

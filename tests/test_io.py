@@ -622,3 +622,34 @@ def test_lineage_counts_ignore_recovery_helper_dirs(spark, tmp_path):
             shutil.copy(os.path.join(table, f), os.path.join(aside, f))
     again = lin.record("s", "fp", None, table_path=table)
     assert again["total_rows"] == 50, "helper-dir rows double-counted"
+
+
+def test_merge_empty_delta_is_noop(spark, base):
+    """An empty delta (an empty streaming micro-batch; a promotion
+    whose keys carry no evidence rows) must be a byte-exact no-op on
+    the partition-pruned MERGE path — not a crash on a None pruning
+    predicate — while the gate contract still aborts it."""
+    import threading
+    table, df = base
+    before = _snapshot(table)
+    empty = _bucketed(df.limit(0))
+    gio.merge_upsert(spark, empty, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"])
+    assert _snapshot(table) == before, "empty merge mutated the table"
+    # empty delete set alongside: still a no-op
+    gio.merge_upsert(spark, empty, table, keys=["k", "pred"],
+                     partition_by=["pred", "bucket"],
+                     delete_keys=empty.select("k", "pred",
+                                              "bucket"))
+    assert _snapshot(table) == before
+    # the gate contract holds even for a no-op: an aborted
+    # prerequisite must FAIL the merge so the caller never records
+    # lineage success over a failed dependency
+    gate, abort = threading.Event(), threading.Event()
+    abort.set()
+    gate.set()
+    with pytest.raises(RuntimeError, match="commit aborted"):
+        gio.merge_upsert(spark, empty, table, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"],
+                         commit_gate=gate, commit_abort=abort)
+    assert _snapshot(table) == before
