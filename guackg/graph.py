@@ -103,6 +103,7 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
 def blast_radius(edges: DataFrame, start_keys: list[str],
                  max_depth: int = 5,
                  preds: list[str] | None = None,
+                 skip_keys: DataFrame | None = None,
                  node_versions: DataFrame | None = None,
                  constraint_col: str = "constraint") -> DataFrame:
     """Typed BFS closure WITH parent pointers: (key, depth, parent,
@@ -118,6 +119,10 @@ def blast_radius(edges: DataFrame, start_keys: list[str],
     Scale shape: per round ONE equi-join frontier×edges (shuffle on
     src), one left-anti vs visited, one per-key window for the parent
     pick; lineage cut each round.
+
+    `skip_keys` has `reachable_from`'s tombstone semantics exactly:
+    skipped nodes are neither reported nor traversed THROUGH
+    (inmem/path.go:314 noVuln skip) — one left-anti per round.
 
     `node_versions` (key, version) turns on the version-aware hop
     gate exactly as in `reachable_from` — the patch-planning use of
@@ -135,6 +140,10 @@ def blast_radius(edges: DataFrame, start_keys: list[str],
         e = e.filter(F.col("pred").isin(preds))
     e = e.distinct().persist()
     e.count()
+    skip = None
+    if skip_keys is not None:
+        skip = skip_keys.select(
+            F.col(skip_keys.columns[0]).alias("key")).distinct()
 
     visited = spark.createDataFrame(
         [(k, 0, None, None) for k in start_keys],
@@ -146,7 +155,12 @@ def blast_radius(edges: DataFrame, start_keys: list[str],
                 .select(F.col("dst").alias("key"),
                         F.col("key").alias("parent"),
                         F.col("pred").alias("via_pred"))
-                .join(visited.select("key"), on="key", how="left_anti")
+                .join(visited.select("key"), on="key", how="left_anti"))
+        if skip is not None:
+            # before the parent-pick window: a skipped key must not
+            # appear in the closure at all, so no parent row survives
+            cand = cand.join(skip, on="key", how="left_anti")
+        cand = (cand
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .select("key", F.lit(depth).alias("depth"),

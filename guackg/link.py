@@ -401,8 +401,12 @@ def identifier_candidates(links: DataFrame,
 
 def lsh_bucket_stats(alias_dict: DataFrame) -> DataFrame:
     """Diagnostic: LSH bucket-size distribution on the dictionary side
-    (the 'no silent caps' counter — SURVEY.md §4)."""
-    right = _with_bands(alias_dict.select(F.col("surface").alias("dnorm")),
+    (the 'no silent caps' counter — SURVEY.md §4). Audits the SAME
+    frame the join bands — the deduped dictionary — or a surface
+    curated k times would inflate every one of its buckets k-fold in
+    the diagnostic while the real join never saw the duplicates."""
+    right = _with_bands(dedupe_alias_dict(alias_dict)
+                        .select(F.col("surface").alias("dnorm")),
                         "dnorm")
     return (right.groupBy("band_id", "band_hash")
             .agg(F.count("*").alias("bucket_size"))

@@ -362,7 +362,13 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the LSH variant at scale). 63 bits, not 64, deliberately (see
     _SIMHASH_BITS) — column name 'simhash64' is the storage type, not
     the bit width."""
-    base = docs.select("doc_id", _word_set(text_col).alias("ws"))
+    # NULL text ⇒ NULL word set ⇒ every bit aggregate NULL ⇒ simhash
+    # 0 — which would collide ALL NULL docs into one fabricated
+    # hamming-0 duplicate cluster (the same fabrication the MinHash
+    # path filters before its fingerprint groupBy). NULL docs carry
+    # no content signal: quarantine them from near-dup entirely.
+    base = (docs.select("doc_id", _word_set(text_col).alias("ws"))
+            .filter(F.col("ws").isNotNull()))
     # bit_count-style: aggregate(transform(...)) per bit, fold to a bigint
     bit_exprs = []
     for i in range(_SIMHASH_BITS):

@@ -69,7 +69,7 @@ def main() -> None:
             n_fail += 1
             continue
         if name not in oracles:
-            status = "WEAK-OK" if len(got) >= 0 else "WEAK-FAIL"
+            status = "WEAK-OK" if len(got) > 0 else "WEAK-FAIL"
             print(f"{status} {name}: rows={len(got)} (no oracle)")
             n_weak += 1
             continue

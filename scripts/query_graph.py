@@ -88,7 +88,8 @@ def run_query(spark, args) -> tuple[list[dict], int]:
                               skip_keys=skip)
     elif args.query == "blast":
         df = G.blast_radius(edges, [args.start],
-                            max_depth=args.max_depth, preds=preds)
+                            max_depth=args.max_depth, preds=preds,
+                            skip_keys=skip)
     elif args.query == "roots":
         if not args.root_prefix:
             raise SystemExit("--query roots requires --root-prefix "

@@ -68,6 +68,14 @@ def main() -> None:
                    input_fingerprint=input_fp)
 
     summary = {"stages": list(stages), "elapsed_sec": round(time.time() - t0, 2)}
+    # row counts BEFORE compaction: the returned DataFrames hold file
+    # indexes over the pre-compaction layout, and compact_table
+    # replaces those files — counting after would read a stale index
+    # and crash (FileNotFoundException) whenever compaction actually
+    # rewrote a leaf. Compaction is row-stable, so the counts hold.
+    for name in ("triples", "links", "components", "nodes", "edges"):
+        if name in out:
+            summary[f"{name}_rows"] = out[name].count()
     if args.compact and "edges" in out:
         from guackg.io import compact_table
         summary["compact"] = {
@@ -78,9 +86,6 @@ def main() -> None:
                                                        "edges"),
                                    partition_by=["pred", "bucket"]),
         }
-    for name in ("triples", "links", "components", "nodes", "edges"):
-        if name in out:
-            summary[f"{name}_rows"] = out[name].count()
     if "triples" in out:
         summary["triples_per_sec"] = round(
             summary["triples_rows"] / summary["elapsed_sec"], 1)

@@ -250,3 +250,21 @@ def test_kind_of_key_never_empty(spark):
     assert got["page:abc123"] == "page"
     assert got["something_else"] == "external"
     assert all(k is not None and k != "" for k in got.values())
+
+
+def test_blast_radius_skip_keys_tombstones(spark, edges):
+    """blast_radius honors the same noVuln-skip contract as
+    reachable_from (path.go:314): a skipped node is neither reported
+    (no parent row) nor traversed through (its subtree drops out) —
+    the --query blast --skip-tombstoned CLI path."""
+    skip = spark.createDataFrame([("c",)], "key string")
+    got = {r.key: (r.depth, r.parent)
+           for r in blast_radius(edges, ["a"], max_depth=5,
+                                 skip_keys=skip).collect()}
+    # without the tombstone: a->b->c->{d->e, f}
+    assert set(got) == {"a", "b"}
+    assert got["b"] == (1, "a")
+    # and the skipped closure is a strict subset of the plain one
+    plain = {r.key for r in blast_radius(edges, ["a"],
+                                         max_depth=5).collect()}
+    assert set(got) < plain

@@ -311,3 +311,22 @@ def test_embedding_lsh_ops_tolerate_null_embeddings(spark):
     topk = lsh_cosine_topk(emb, q, k=2).collect()
     assert {r.query_id for r in topk} == {10}
     assert all(r.vec_id != 3 for r in topk)
+
+
+def test_simhash_quarantines_null_text(spark):
+    """NULL text must not fabricate hamming-0 duplicate clusters:
+    a NULL word set has no content signal, so NULL docs are excluded
+    from simhash (and therefore from near-pairs) entirely — the same
+    quarantine the MinHash path applies before its fingerprint
+    groupBy."""
+    from guackg.ops.dedup import simhash, simhash_near_pairs
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, None),
+         (4, "alpha beta gamma delta"), (5, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    sh = simhash(docs)
+    assert {r.doc_id for r in sh.collect()} == {4, 5}
+    pairs = {(r.doc_a, r.doc_b)
+             for r in simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert pairs == {(4, 5)}, \
+        f"NULL docs leaked into near-dup pairs: {pairs}"
