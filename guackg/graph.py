@@ -14,8 +14,66 @@ lineage cut per round (same loop family as the CC iterations).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Below these bounds the (pred-filtered, distinct) edge list is
+# collected and the BFS runs driver-side — the same adaptive
+# small-side rule as cc.py's union-find fast path: an interactive
+# query over a graph that fits on the driver costs ONE collect
+# instead of 3-4 Spark jobs per frontier round (measured: the
+# query-CLI BFS modes spend ~10 s in round barriers on graphs whose
+# edge list is a few MB). Every tie-break in the distributed loops is
+# a deterministic lexicographic MIN, so the driver replay is
+# value-identical — asserted by parity tests; the iterative
+# DataFrame loops remain the at-scale path (and the only path once
+# the bounds trip). GUACKG_GRAPH_DRIVER_BOUND=0 disables (tests use
+# it to pin the distributed path). Keys are ASCII by construction
+# (normalized slugs / page:sha256 / ent: namespaces), so Python's
+# per-codepoint string order agrees with Spark's UTF8-binary order
+# on every comparison the replay makes.
+GRAPH_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _graph_driver_max_bytes() -> int:
+    return int(os.environ.get("GUACKG_GRAPH_DRIVER_BOUND",
+                              str(64 * 1024 * 1024)))
+
+
+def _driver_edge_list(e: DataFrame, cols: list[str]):
+    """Collect the prepared edge frame when it fits the driver bounds;
+    None → caller stays distributed. One 1-row agg sizes it (the frame
+    arrives persisted, so sizing costs no recompute)."""
+    max_bytes = _graph_driver_max_bytes()
+    if max_bytes <= 0:
+        return None
+    size = e.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(sum((F.length(c) for c in cols[1:]),
+                             F.length(cols[0]))), F.lit(0)).alias("b"),
+    ).collect()[0]
+    if size["n"] > GRAPH_DRIVER_MAX_EDGES or size["b"] > max_bytes:
+        return None
+    return e.collect()
+
+
+def _driver_key_set(df: DataFrame | None) -> set[str] | None:
+    """Bounded collect of a 1-column key frame (skip sets). None when
+    the frame is absent OR too big for the driver (callers then stay
+    distributed end-to-end; a huge skip set with a tiny edge set is
+    not a case worth a mixed plan)."""
+    if df is None:
+        return set()
+    col = df.columns[0]
+    size = df.select(F.count("*").alias("n"),
+                     F.coalesce(F.sum(F.length(col)), F.lit(0))
+                     .alias("b")).collect()[0]
+    if size["n"] > GRAPH_DRIVER_MAX_EDGES or \
+            size["b"] > _graph_driver_max_bytes():
+        return None
+    return {r[0] for r in df.collect()}
 
 
 def neighbors(edges: DataFrame, key: str,
@@ -81,6 +139,32 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
         skip = skip_keys.select(
             F.col(skip_keys.columns[0]).alias("key")).distinct()
 
+    pairs = _driver_edge_list(e, ["src", "dst"])
+    if pairs is not None:
+        skipset = _driver_key_set(skip)
+        if skipset is not None:
+            e.unpersist()
+            adj: dict[str, list[str]] = {}
+            for r in pairs:
+                adj.setdefault(r[0], []).append(r[1])
+            # replay of the loop below, bit-identical: dup start keys
+            # keep their dup rows (the union seeds them unchanged),
+            # starts are NOT skip-filtered (only frontier candidates
+            # are), rediscovery is blocked by the visited set
+            rows = [(k, 0) for k in start_keys]
+            seen = set(start_keys)
+            frontier_keys = set(start_keys)
+            for depth in range(1, max_depth + 1):
+                nxt = {d for s in frontier_keys
+                       for d in adj.get(s, ())} - seen - skipset
+                if not nxt:
+                    break
+                rows.extend((k, depth) for k in sorted(nxt))
+                seen |= nxt
+                frontier_keys = nxt
+            return spark.createDataFrame(rows,
+                                         "key string, depth int")
+
     visited = spark.createDataFrame([(k, 0) for k in start_keys],
                                     "key string, depth int")
     frontier = visited
@@ -144,6 +228,40 @@ def blast_radius(edges: DataFrame, start_keys: list[str],
     if skip_keys is not None:
         skip = skip_keys.select(
             F.col(skip_keys.columns[0]).alias("key")).distinct()
+
+    pairs = _driver_edge_list(e, ["src", "dst", "pred"])
+    if pairs is not None:
+        skipset = _driver_key_set(skip)
+        if skipset is not None:
+            e.unpersist()
+            adj: dict[str, list[tuple[str, str]]] = {}
+            for r in pairs:
+                adj.setdefault(r[0], []).append((r[1], r[2]))
+            # replay of the loop below, bit-identical: the parent pick
+            # is the lexicographic MIN (parent, via_pred) among the
+            # round's discoverers — exactly the row_number window's
+            # orderBy("parent", "via_pred") rank-1 row
+            rows = [(k, 0, None, None) for k in start_keys]
+            seen = set(start_keys)
+            frontier_keys = set(start_keys)
+            for depth in range(1, max_depth + 1):
+                best: dict[str, tuple[str, str]] = {}
+                for s in frontier_keys:
+                    for dst, pred in adj.get(s, ()):
+                        if dst in seen or dst in skipset:
+                            continue
+                        pick = (s, pred)
+                        if dst not in best or pick < best[dst]:
+                            best[dst] = pick
+                if not best:
+                    break
+                rows.extend((k, depth, p, vp)
+                            for k, (p, vp) in sorted(best.items()))
+                seen |= best.keys()
+                frontier_keys = set(best)
+            return spark.createDataFrame(
+                rows, "key string, depth int, parent string, "
+                      "via_pred string")
 
     visited = spark.createDataFrame(
         [(k, 0, None, None) for k in start_keys],
@@ -226,6 +344,42 @@ def bfs_path(edges: DataFrame, src_key: str, dst_key: str,
     e = e.distinct().persist()
     e.count()
     spark = edges.sparkSession
+
+    pairs = _driver_edge_list(e, ["src", "dst"])
+    if pairs is not None:
+        e.unpersist()
+        adj: dict[str, list[str]] = {}
+        for r in pairs:
+            adj.setdefault(r[0], []).append(r[1])
+        # replay of the loop below: min-parent per round, expansion
+        # stops once dst is discovered (the distributed loop checks
+        # `found` at the top of the next round — same effect)
+        parent: dict[str, str | None] = {src_key: None}
+        frontier_keys = {src_key}
+        found = src_key == dst_key
+        for _ in range(max_depth):
+            if found:
+                break
+            best: dict[str, str] = {}
+            for s in frontier_keys:
+                for d in adj.get(s, ()):
+                    if d in parent:
+                        continue
+                    if d not in best or s < best[d]:
+                        best[d] = s
+            if not best:
+                break
+            parent.update(best)
+            frontier_keys = set(best)
+            found = dst_key in best
+        if not found:
+            return None
+        path, cur = [], dst_key
+        while cur is not None:
+            path.append(cur)
+            cur = parent.get(cur)
+        return list(reversed(path))
+
     visited = spark.createDataFrame([(src_key, None)],
                                     "key string, parent string")
     frontier = visited

@@ -268,3 +268,43 @@ def test_blast_radius_skip_keys_tombstones(spark, edges):
     plain = {r.key for r in blast_radius(edges, ["a"],
                                          max_depth=5).collect()}
     assert set(got) < plain
+
+
+def test_driver_fast_path_parity_with_distributed(spark, monkeypatch):
+    """The byte/row-bounded driver BFS fast path (graph.py
+    _driver_edge_list — cc.py's adaptive union-find rule applied to
+    traversals) must be VALUE-IDENTICAL to the iterative DataFrame
+    loops: every tie-break is a deterministic lexicographic min, so
+    the replay is exact. Runs the same queries (incl. skip keys, pred
+    filters, undirected path) with the fast path on (default bound)
+    and off (GUACKG_GRAPH_DRIVER_BOUND=0) and compares results."""
+    rows = [(f"n{i:02d}", f"p{i % 3}", f"n{(i * 7 + 3) % 40:02d}")
+            for i in range(160)]
+    g = spark.createDataFrame(
+        rows, "subj_key string, pred string, obj_key string")
+    # n33 sits on n01's only outgoing chain (n01→n10→n33→n34→n01):
+    # skipping it must also drop n34 — a content check, not just
+    # mode-parity
+    skip = spark.createDataFrame([("n33",)], "key string")
+
+    def run_all():
+        return (
+            {(r.key, r.depth) for r in
+             reachable_from(g, ["n01"], max_depth=6,
+                            skip_keys=skip).collect()},
+            {(r.key, r.depth, r.parent, r.via_pred) for r in
+             blast_radius(g, ["n01"], max_depth=5,
+                          preds=["p0", "p1"], skip_keys=skip).collect()},
+            bfs_path(g, "n01", "n32", max_depth=8, direction="both"),
+            bfs_path(g, "n01", "n32", max_depth=8, direction="out"),
+        )
+
+    fast = run_all()
+    no_skip = {(r.key, r.depth) for r in
+               reachable_from(g, ["n01"], max_depth=6).collect()}
+    monkeypatch.setenv("GUACKG_GRAPH_DRIVER_BOUND", "0")
+    slow = run_all()
+    assert fast == slow
+    # content: the tombstone prunes its whole subtree in both modes
+    assert {k for k, _ in no_skip} >= {"n33", "n34"}
+    assert not {k for k, _ in fast[0]} & {"n33", "n34"}
