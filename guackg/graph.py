@@ -487,6 +487,35 @@ def toposort_levels(edges: DataFrame) -> DataFrame:
                      F.col("obj_key").alias("dst")).distinct().persist()
     e.count()
     spark = edges.sparkSession
+
+    pairs = _driver_edge_list(e, ["src", "dst"])
+    if pairs is not None:
+        e.unpersist()
+        # Kahn replay, value-identical to the loop below: per round,
+        # the remaining nodes with no incoming edge among the
+        # remaining edges take the level; a rootless round marks the
+        # rest (a cycle) with -1
+        remaining = {r[0] for r in pairs} | {r[1] for r in pairs}
+        out_adj: dict[str, list[str]] = {}
+        indeg = {k: 0 for k in remaining}
+        for s, d in pairs:
+            out_adj.setdefault(s, []).append(d)
+            indeg[d] += 1
+        rows, level = [], 0
+        while remaining:
+            roots = [k for k in remaining if indeg[k] == 0]
+            if not roots:
+                rows.extend((k, -1) for k in sorted(remaining))
+                break
+            rows.extend((k, level) for k in sorted(roots))
+            remaining -= set(roots)
+            for s in roots:
+                for d in out_adj.get(s, ()):
+                    if d in remaining:
+                        indeg[d] -= 1
+            level += 1
+        return spark.createDataFrame(rows, "key string, level int")
+
     nodes = e.select(F.col("src").alias("key")).union(
         e.select(F.col("dst").alias("key"))).distinct()
     remaining_edges = e

@@ -297,6 +297,9 @@ def test_driver_fast_path_parity_with_distributed(spark, monkeypatch):
                           preds=["p0", "p1"], skip_keys=skip).collect()},
             bfs_path(g, "n01", "n32", max_depth=8, direction="both"),
             bfs_path(g, "n01", "n32", max_depth=8, direction="out"),
+            # the i*7+3 graph contains cycles, so this also pins the
+            # Kahn replay's level -1 (cyclic) marking
+            {(r.key, r.level) for r in toposort_levels(g).collect()},
         )
 
     fast = run_all()
