@@ -311,3 +311,56 @@ def test_driver_fast_path_parity_with_distributed(spark, monkeypatch):
     # content: the tombstone prunes its whole subtree in both modes
     assert {k for k, _ in no_skip} >= {"n33", "n34"}
     assert not {k for k, _ in fast[0]} & {"n33", "n34"}
+
+
+def test_traversal_replay_property(spark):
+    """Property sweep of the driver replay vs the distributed loops
+    over randomized graphs (hypothesis generates the batch up front;
+    each case runs both modes). Cheap but adversarial shapes: dense
+    multigraphs, self-loops (dropped by both), cycles, disconnected
+    nodes, skip sets intersecting the closure."""
+    import os as _os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge_st = st.lists(
+        st.tuples(st.integers(0, 9),
+                  st.sampled_from(["p", "q"]),
+                  st.integers(0, 9)),
+        min_size=1, max_size=25)
+    skip_st = st.sets(st.integers(0, 9), max_size=2)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(edges_idx=edge_st, skip_idx=skip_st)
+    def _case(edges_idx, skip_idx):
+        g = spark.createDataFrame(
+            [(f"n{a}", p, f"n{b}") for a, p, b in edges_idx],
+            "subj_key string, pred string, obj_key string")
+        skip = (spark.createDataFrame(
+                    [(f"n{i}",) for i in sorted(skip_idx)], "key string")
+                if skip_idx else None)
+
+        def run_all():
+            return (
+                {(r.key, r.depth) for r in
+                 reachable_from(g, ["n0"], max_depth=4,
+                                skip_keys=skip).collect()},
+                {(r.key, r.depth, r.parent, r.via_pred) for r in
+                 blast_radius(g, ["n0"], max_depth=4,
+                              skip_keys=skip).collect()},
+                bfs_path(g, "n0", "n9", max_depth=5, direction="both"),
+                {(r.key, r.level) for r in toposort_levels(g).collect()},
+            )
+
+        try:
+            _os.environ.pop("GUACKG_GRAPH_DRIVER_BOUND", None)
+            fast = run_all()
+            _os.environ["GUACKG_GRAPH_DRIVER_BOUND"] = "0"
+            slow = run_all()
+        finally:
+            _os.environ.pop("GUACKG_GRAPH_DRIVER_BOUND", None)
+        assert fast == slow
+
+    _case()
