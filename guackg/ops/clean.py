@@ -1,0 +1,99 @@
+"""One-call corpus cleaning — the composed C4/RefinedWeb-style
+pipeline a training-data team actually ships, built from the audited
+primitives in textstats/dedup (each of which carries its own oracle):
+
+    1. language gate      (textstats.language_id)
+    2. quality gate       (textstats.quality_score composite)
+    3. exact dedup        (dedup.exact_dedup: min doc_id per hash)
+    4. near-dup collapse  (dedup.minhash_lsh_pairs →
+                           dedup.near_dup_collapse: one representative
+                           per connected component)
+
+The reference's analog is the processor's validate/quarantine +
+ingestor dedup chain (SURVEY §2.2 P4/P8): every document either flows
+through or is dropped with a recorded reason. This composition keeps
+that contract — the output has ONE ROW PER INPUT DOC with the first
+gate that dropped it, so corpus attrition is auditable per stage (no
+silent caps, SURVEY §4) and the kept set is reproducible.
+
+Scale shape: stages 1-3 are pure narrow/columnar built-ins plus one
+hash window; stage 4 is the bucketed LSH + connected-components path
+(see minhash_lsh_pairs / near_dup_collapse for their 100-TB notes).
+Each gate shrinks the frame the next stage scans, in the cheap-to-
+expensive order a 10^12-doc run needs: LSH only ever sees docs that
+survived the O(1)-per-row gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from guackg.ops.dedup import (exact_dedup, minhash_lsh_pairs,
+                              near_dup_collapse)
+from guackg.ops.textstats import language_id, quality_score
+
+CLEAN_STAGES = ("lang", "quality", "exact_dup", "near_dup", "kept")
+
+
+def clean_corpus(docs: DataFrame, text_col: str = "text",
+                 langs: tuple[str, ...] = ("en",),
+                 min_quality: float = 0.3,
+                 near_threshold: float = 0.5) -> DataFrame:
+    """docs(doc_id, text, …) → one row per input doc:
+    (doc_id, lang_guess, quality, stage, cluster_id, keep).
+
+    `stage` is the FIRST gate that dropped the doc ('lang', 'quality',
+    'exact_dup', 'near_dup') or 'kept'. `cluster_id` is the near-dup
+    component representative for docs that reached stage 4 (its own
+    doc_id for singletons; NULL for docs dropped earlier). `keep` is
+    (stage == 'kept').
+
+    Determinism: every tie-break is the smallest doc_id (exact_dedup's
+    window order; near_dup_collapse's component min), so the kept set
+    is a pure function of the corpus. NULL text carries no signal and
+    exits at the language gate ('unknown' guess), consistent with the
+    NULL quarantines inside simhash/minhash."""
+    lid = language_id(docs, text_col).select("doc_id", "lang_guess")
+    q = quality_score(docs, text_col).select("doc_id", "quality")
+    base = (docs.select("doc_id", text_col)
+            .join(lid, on="doc_id").join(q, on="doc_id"))
+    base = base.withColumn(
+        "_gate",
+        F.when(~F.col("lang_guess").isin(*langs), F.lit("lang"))
+        .when(F.col("quality") < F.lit(min_quality), F.lit("quality")))
+
+    gated = base.filter(F.col("_gate").isNull()) \
+        .select("doc_id", text_col)
+    # exact winners: smallest doc_id per content hash; every other
+    # member of the hash group exits at 'exact_dup'
+    ex_keep = exact_dedup(gated, text_col).select("doc_id") \
+        .withColumn("_ex", F.lit(1))
+
+    survivors = gated.join(ex_keep.select("doc_id"), on="doc_id")
+    pairs = minhash_lsh_pairs(survivors, text_col,
+                              threshold=near_threshold)
+    collapse = near_dup_collapse(survivors, pairs)  # doc_id, cluster_id, keep
+
+    out = (base
+           .join(ex_keep, on="doc_id", how="left")
+           .join(collapse.withColumnRenamed("keep", "_nd_keep"),
+                 on="doc_id", how="left")
+           .select(
+               "doc_id", "lang_guess", "quality",
+               F.coalesce(
+                   F.col("_gate"),
+                   F.when(F.col("_ex").isNull(), F.lit("exact_dup"))
+                   .when(~F.col("_nd_keep"), F.lit("near_dup"))
+                   .otherwise(F.lit("kept"))).alias("stage"),
+               "cluster_id"))
+    return out.withColumn("keep", F.col("stage") == "kept")
+
+
+def clean_corpus_stats(cleaned: DataFrame) -> DataFrame:
+    """Per-stage attrition rollup of a `clean_corpus` output — the
+    counters a cleaning run reports (docs in, dropped per gate, kept).
+    One tiny agg; `stage` has cardinality 5."""
+    return (cleaned.groupBy("stage")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("stage"))

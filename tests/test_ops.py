@@ -330,3 +330,33 @@ def test_simhash_quarantines_null_text(spark):
              for r in simhash_near_pairs(docs, max_hamming=6).collect()}
     assert pairs == {(4, 5)}, \
         f"NULL docs leaked into near-dup pairs: {pairs}"
+
+
+def test_clean_corpus_stages_and_determinism(spark):
+    """clean_corpus drops each doc at the FIRST failing gate, keeps
+    one deterministic representative per exact/near-dup cluster, and
+    emits one audited row per input doc."""
+    from guackg.ops.clean import clean_corpus, clean_corpus_stats
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a friend to rest for a while longer")
+    near = good.replace("lazy", "sleepy")
+    docs = spark.createDataFrame(
+        [(1, good),            # kept (cluster representative)
+         (2, good),            # exact dup of 1
+         (3, near),            # near dup of 1
+         (4, "der die das und nicht ein "*8),   # lang gate
+         (5, "!!! ??? ***"),   # quality gate (en-less, short, punct)
+         (6, None)],           # NULL text -> lang gate ('unknown')
+        "doc_id long, text string")
+    got = {r.doc_id: (r.stage, r.cluster_id, r.keep)
+           for r in clean_corpus(docs).collect()}
+    assert len(got) == 6                      # one row per input doc
+    assert got[1] == ("kept", 1, True)
+    assert got[2] == ("exact_dup", None, False)
+    assert got[3] == ("near_dup", 1, False)   # collapsed into 1
+    assert got[4][0] == "lang" and got[4][2] is False
+    assert got[5][0] in ("lang", "quality") and got[5][2] is False
+    assert got[6] == ("lang", None, False)    # NULL quarantined early
+    stats = {r.stage: r.n_docs
+             for r in clean_corpus_stats(clean_corpus(docs)).collect()}
+    assert stats["kept"] == 1 and sum(stats.values()) == 6
