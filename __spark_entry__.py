@@ -117,6 +117,18 @@ def _q_winnow_pairs(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
 
 
+def _q_clean_stages(spark, sf_dir):
+    """Composed C4-style corpus cleaning (lang gate → quality gate →
+    exact dedup → MinHash near-dup collapse) as per-stage attrition
+    counts. No full SQL oracle — the near-dup stage is xxhash64-LSH —
+    but every primitive it composes carries its own registered oracle
+    (text_language_id, text_quality_score, dedup_exact,
+    dedup_minhash_containment) and the composition law is pinned by
+    tests/test_ops.py::test_clean_corpus_stages_and_determinism."""
+    from guackg.ops.clean import clean_corpus, clean_corpus_stats
+    return clean_corpus_stats(clean_corpus(_docs(spark, sf_dir)))
+
+
 def _q_emb_near_dup(spark, sf_dir):
     from guackg.ops.similarity import embedding_near_dup_pairs
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -856,6 +868,7 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        "corpus_clean_stages": _q_clean_stages,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }

@@ -39,7 +39,7 @@ CLEAN_STAGES = ("lang", "quality", "exact_dup", "near_dup", "kept")
 def clean_corpus(docs: DataFrame, text_col: str = "text",
                  langs: tuple[str, ...] = ("en",),
                  min_quality: float = 0.3,
-                 near_threshold: float = 0.5) -> DataFrame:
+                 near_threshold: float = 0.8) -> DataFrame:
     """docs(doc_id, text, …) → one row per input doc:
     (doc_id, lang_guess, quality, stage, cluster_id, keep).
 

@@ -1,0 +1,89 @@
+"""spark-submit entry point for corpus cleaning — runs the composed
+C4/RefinedWeb-style gate chain (guackg/ops/clean.py: language gate →
+quality gate → exact dedup → MinHash near-dup collapse) over a parquet
+documents table and ships the kept corpus plus a full per-doc audit.
+
+The reference's analog surface is the processor's validate/quarantine
+split (SURVEY §2.2 P4/P8 — every document either flows through or is
+dropped with a recorded reason); this CLI is the training-data-shaped
+version a 100-TB cleaning run needs: auditable attrition per stage, a
+deterministic kept set, and no silent drops.
+
+    spark-submit --py-files guackg.zip scripts/clean_corpus.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/cleaned [--langs en] [--min-quality 0.3] \
+        [--near-threshold 0.5] [--master local[8]]
+
+Writes (when --out is given):
+    <out>/kept/   — the surviving docs (all input columns)
+    <out>/audit/  — one row per INPUT doc:
+                    (doc_id, lang_guess, quality, stage, cluster_id, keep)
+Prints one JSON summary line with per-stage counts either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from guackg.ops.clean import clean_corpus, clean_corpus_stats
+from guackg.session import get_spark
+
+
+def run_clean(spark, args) -> dict:
+    """Returns the summary dict. Kept separate from main() so tests
+    drive it in-process."""
+    docs = spark.read.parquet(args.input)
+    langs = tuple(s.strip() for s in args.langs.split(",") if s.strip())
+    audit = clean_corpus(docs, text_col=args.text_col, langs=langs,
+                         min_quality=args.min_quality,
+                         near_threshold=args.near_threshold)
+    if args.out:
+        # audit is consumed twice (kept join + stats); one write
+        # materializes it so the LSH stage runs once
+        audit.write.mode("overwrite") \
+            .parquet(os.path.join(args.out, "audit"))
+        audit = spark.read.parquet(os.path.join(args.out, "audit"))
+        kept = docs.join(audit.filter("keep").select("doc_id"),
+                         on="doc_id")
+        kept.write.mode("overwrite") \
+            .parquet(os.path.join(args.out, "kept"))
+    stats = {r.stage: r.n_docs for r in
+             clean_corpus_stats(audit).collect()}
+    return {"input": args.input, "out": args.out,
+            "docs_in": sum(stats.values()),
+            "kept": stats.get("kept", 0),
+            "dropped_per_stage": {k: v for k, v in sorted(stats.items())
+                                  if k != "kept"}}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet docs table with (doc_id, <text-col>)")
+    ap.add_argument("--out", default=None,
+                    help="output dir for kept/ and audit/ parquet")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--langs", default="en",
+                    help="comma-separated languages to keep")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("guackg-clean", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    summary = run_clean(spark, args)
+    summary["elapsed_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,44 @@ def test_query_cli_modes(spark, built_workdir):
         workdir=built_workdir, query="path", start=pg, dst=other,
         direction="both"))
     assert total >= 3 and rows[0]["key"] == pg and rows[-1]["key"] == other
+
+
+def test_clean_corpus_cli(spark, tmp_path):
+    """scripts/clean_corpus.py end-to-end: kept/ holds exactly the
+    audit's keep rows with all input columns, the summary's per-stage
+    counts sum to the input size, and the run is deterministic."""
+    import argparse as _ap
+
+    import clean_corpus as C
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a friend to rest for a while longer")
+    docs = spark.createDataFrame(
+        [(1, good, "a"), (2, good, "b"),
+         (3, good.replace("lazy", "sleepy"), "c"),
+         (4, "der die das und nicht ein " * 8, "d"),
+         (5, None, "e")],
+        "doc_id long, text string, extra string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "cleaned")
+
+    args = _ap.Namespace(input=inp, out=out, text_col="text",
+                         langs="en", min_quality=0.3,
+                         near_threshold=0.5, master=None)
+    summary = C.run_clean(spark, args)
+    assert summary["docs_in"] == 5 and summary["kept"] == 1
+    assert sum(summary["dropped_per_stage"].values()) == 4
+
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    audit = spark.read.parquet(os.path.join(out, "audit"))
+    assert set(kept.columns) == {"doc_id", "text", "extra"}
+    assert {r.doc_id for r in kept.collect()} == \
+        {r.doc_id for r in audit.filter("keep").collect()} == {1}
+    assert audit.count() == 5
+    # determinism: a second run reproduces the audit exactly
+    out2 = str(tmp_path / "cleaned2")
+    C.run_clean(spark, _ap.Namespace(**{**vars(args), "out": out2}))
+    a2 = spark.read.parquet(os.path.join(out2, "audit"))
+    assert sorted(map(tuple, audit.collect())) == \
+        sorted(map(tuple, a2.collect()))
