@@ -64,6 +64,7 @@ from guackg.lineage import Lineage
 from guackg.link import (equivalence_edges_from_links,
                          identifier_candidates, relink_fallbacks)
 from guackg.materialize import (build_edges, build_nodes,
+                                page_map_fits_broadcast,
                                 page_mention_edges, resolve_triples)
 from guackg.pipeline import PIPELINE_VERSION, _content_fp, _fingerprint
 from guackg.triples import EXTRACTOR_VERSION
@@ -280,7 +281,7 @@ def apply_promotions(
             F.concat(F.lit("page:"), F.col("page_sha256"))
             .alias("page_key"))
         ext_rows = (lineage.read("extract") or {}).get("total_rows", 0)
-        bcast = bool(ext_rows) and ext_rows * 150 <= 64 * 1024 * 1024
+        bcast = page_map_fits_broadcast(ext_rows)
         pedges = page_mention_edges(re_res, page_keys,
                                     broadcast_page_map=bcast,
                                     n_buckets=n_buckets)
@@ -315,7 +316,7 @@ def apply_promotions(
                      keys=["canonical_key"], partition_by=["kind"],
                      assume_unique=True, delete_keys=stale_nodes,
                      require_existing=True)
-    fanout = max(1, min(8, spark.sparkContext.defaultParallelism))
+    fanout = gio.merge_fanout(spark)
     gio.merge_upsert(spark, new_edges, out("edges"),
                      keys=["subj_key", "pred", "obj_key"],
                      partition_by=["pred", "bucket"],

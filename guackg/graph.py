@@ -59,6 +59,19 @@ def _driver_edge_list(e: DataFrame, cols: list[str]):
     return e.collect()
 
 
+def _require_constraint_col(edges: DataFrame, constraint_col: str) -> None:
+    """A traversal given `node_versions` MUST find the constraint
+    column: silently running ungated would return an over-broad
+    closure (the no-silent-match-all rule version.py applies to
+    unparseable constraints, applied to the column itself — a dropped
+    or misspelled column is caller error, not 'no constraints')."""
+    if constraint_col not in edges.columns:
+        raise ValueError(
+            f"node_versions given but edges has no {constraint_col!r} "
+            "column; pass constraint_col= or drop node_versions for an "
+            "ungated traversal")
+
+
 def _driver_key_set(df: DataFrame | None) -> set[str] | None:
     """Bounded collect of a 1-column key frame (skip sets). None when
     the frame is absent OR too big for the driver (callers then stay
@@ -123,7 +136,8 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
     (patchPlanning.go:247 DoesRangeInclude — see
     ops/version.py::version_gate_edges for the equivalence argument)."""
     spark = edges.sparkSession
-    if node_versions is not None and constraint_col in edges.columns:
+    if node_versions is not None:
+        _require_constraint_col(edges, constraint_col)
         from guackg.ops.version import version_gate_edges
         edges = version_gate_edges(edges, node_versions,
                                    constraint_col=constraint_col)
@@ -139,31 +153,34 @@ def reachable_from(edges: DataFrame, start_keys: list[str],
         skip = skip_keys.select(
             F.col(skip_keys.columns[0]).alias("key")).distinct()
 
-    pairs = _driver_edge_list(e, ["src", "dst"])
+    # skip set sized FIRST (the cheaper bound): when it alone busts the
+    # driver budget, the edge list is never collected at all
+    skipset = _driver_key_set(skip) if _graph_driver_max_bytes() > 0 \
+        else None
+    pairs = _driver_edge_list(e, ["src", "dst"]) \
+        if skipset is not None else None
     if pairs is not None:
-        skipset = _driver_key_set(skip)
-        if skipset is not None:
-            e.unpersist()
-            adj: dict[str, list[str]] = {}
-            for r in pairs:
-                adj.setdefault(r[0], []).append(r[1])
-            # replay of the loop below, bit-identical: dup start keys
-            # keep their dup rows (the union seeds them unchanged),
-            # starts are NOT skip-filtered (only frontier candidates
-            # are), rediscovery is blocked by the visited set
-            rows = [(k, 0) for k in start_keys]
-            seen = set(start_keys)
-            frontier_keys = set(start_keys)
-            for depth in range(1, max_depth + 1):
-                nxt = {d for s in frontier_keys
-                       for d in adj.get(s, ())} - seen - skipset
-                if not nxt:
-                    break
-                rows.extend((k, depth) for k in sorted(nxt))
-                seen |= nxt
-                frontier_keys = nxt
-            return spark.createDataFrame(rows,
-                                         "key string, depth int")
+        e.unpersist()
+        adj: dict[str, list[str]] = {}
+        for r in pairs:
+            adj.setdefault(r[0], []).append(r[1])
+        # replay of the loop below, bit-identical: dup start keys
+        # keep their dup rows (the union seeds them unchanged),
+        # starts are NOT skip-filtered (only frontier candidates
+        # are), rediscovery is blocked by the visited set
+        rows = [(k, 0) for k in start_keys]
+        seen = set(start_keys)
+        frontier_keys = set(start_keys)
+        for depth in range(1, max_depth + 1):
+            nxt = {d for s in frontier_keys
+                   for d in adj.get(s, ())} - seen - skipset
+            if not nxt:
+                break
+            rows.extend((k, depth) for k in sorted(nxt))
+            seen |= nxt
+            frontier_keys = nxt
+        return spark.createDataFrame(rows,
+                                     "key string, depth int")
 
     visited = spark.createDataFrame([(k, 0) for k in start_keys],
                                     "key string, depth int")
@@ -213,7 +230,8 @@ def blast_radius(edges: DataFrame, start_keys: list[str],
     `DoesRangeInclude` (patchPlanning.go:247) IS a blast radius whose
     dependency hops honor version ranges."""
     spark = edges.sparkSession
-    if node_versions is not None and constraint_col in edges.columns:
+    if node_versions is not None:
+        _require_constraint_col(edges, constraint_col)
         from guackg.ops.version import version_gate_edges
         edges = version_gate_edges(edges, node_versions,
                                    constraint_col=constraint_col)
@@ -229,39 +247,41 @@ def blast_radius(edges: DataFrame, start_keys: list[str],
         skip = skip_keys.select(
             F.col(skip_keys.columns[0]).alias("key")).distinct()
 
-    pairs = _driver_edge_list(e, ["src", "dst", "pred"])
+    # skip set sized first — see reachable_from
+    skipset = _driver_key_set(skip) if _graph_driver_max_bytes() > 0 \
+        else None
+    pairs = _driver_edge_list(e, ["src", "dst", "pred"]) \
+        if skipset is not None else None
     if pairs is not None:
-        skipset = _driver_key_set(skip)
-        if skipset is not None:
-            e.unpersist()
-            adj: dict[str, list[tuple[str, str]]] = {}
-            for r in pairs:
-                adj.setdefault(r[0], []).append((r[1], r[2]))
-            # replay of the loop below, bit-identical: the parent pick
-            # is the lexicographic MIN (parent, via_pred) among the
-            # round's discoverers — exactly the row_number window's
-            # orderBy("parent", "via_pred") rank-1 row
-            rows = [(k, 0, None, None) for k in start_keys]
-            seen = set(start_keys)
-            frontier_keys = set(start_keys)
-            for depth in range(1, max_depth + 1):
-                best: dict[str, tuple[str, str]] = {}
-                for s in frontier_keys:
-                    for dst, pred in adj.get(s, ()):
-                        if dst in seen or dst in skipset:
-                            continue
-                        pick = (s, pred)
-                        if dst not in best or pick < best[dst]:
-                            best[dst] = pick
-                if not best:
-                    break
-                rows.extend((k, depth, p, vp)
-                            for k, (p, vp) in sorted(best.items()))
-                seen |= best.keys()
-                frontier_keys = set(best)
-            return spark.createDataFrame(
-                rows, "key string, depth int, parent string, "
-                      "via_pred string")
+        e.unpersist()
+        adj: dict[str, list[tuple[str, str]]] = {}
+        for r in pairs:
+            adj.setdefault(r[0], []).append((r[1], r[2]))
+        # replay of the loop below, bit-identical: the parent pick
+        # is the lexicographic MIN (parent, via_pred) among the
+        # round's discoverers — exactly the row_number window's
+        # orderBy("parent", "via_pred") rank-1 row
+        rows = [(k, 0, None, None) for k in start_keys]
+        seen = set(start_keys)
+        frontier_keys = set(start_keys)
+        for depth in range(1, max_depth + 1):
+            best: dict[str, tuple[str, str]] = {}
+            for s in frontier_keys:
+                for dst, pred in adj.get(s, ()):
+                    if dst in seen or dst in skipset:
+                        continue
+                    pick = (s, pred)
+                    if dst not in best or pick < best[dst]:
+                        best[dst] = pick
+            if not best:
+                break
+            rows.extend((k, depth, p, vp)
+                        for k, (p, vp) in sorted(best.items()))
+            seen |= best.keys()
+            frontier_keys = set(best)
+        return spark.createDataFrame(
+            rows, "key string, depth int, parent string, "
+                  "via_pred string")
 
     visited = spark.createDataFrame(
         [(k, 0, None, None) for k in start_keys],

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 import time
 import uuid
@@ -32,9 +33,24 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# partition values a pruned merge accepts: bytes Spark writes into the
+# partition directory name UNESCAPED, so `col=value` string joins and
+# the on-disk layout agree (see merge_upsert's contract check). A
+# leading '.'/'_' would ALSO break the contract (Spark's file index
+# hides such dirs), so the first char is restricted further.
+_PART_VALUE_SAFE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]*$")
+
 
 def table_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def merge_fanout(spark: SparkSession, cap: int = 8) -> int:
+    """Sink fanout (parallel encode tasks per jumbo partition dir) for
+    merge_upsert callers — one place so the pipeline's ingest merge and
+    the enrichment patch merge can never silently diverge on write
+    parallelism for the SAME table (round-4 review)."""
+    return max(1, min(cap, spark.sparkContext.defaultParallelism))
 
 
 def _heal_table(path: str, sweep_tmp: bool = False) -> None:
@@ -361,6 +377,22 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
             affected = affected + [
                 r for r in delete_keys.select(*partition_by).distinct()
                 .collect() if tuple(r) not in seen]
+        # contract check, loud: the swap/cleanup arithmetic below joins
+        # partition dirs as the LITERAL `col=value` string, but Spark
+        # Hive-escapes non-safe bytes in the actual dir name
+        # (':' → '%3A') — a mismatch would leave a retracted
+        # partition's stale dir behind (silent row resurrection) or
+        # mark a live one emptied. Producers keep values in this set
+        # by construction (materialize.kind_of_key; pred lexicon;
+        # int buckets); anything else must fail here, not corrupt.
+        for r in affected:
+            for c, v in zip(partition_by, r):
+                if _PART_VALUE_SAFE.match(str(v)) is None:
+                    raise ValueError(
+                        f"merge_upsert: partition value {v!r} for "
+                        f"column {c!r} is not filesystem-literal "
+                        "([A-Za-z0-9_.-]+); Hive-escaped directory "
+                        "names break the pruned-merge swap contract")
         if not affected:
             # zero new rows and zero deletes: MERGE of an empty delta
             # is a no-op (an empty streaming micro-batch, a promotion

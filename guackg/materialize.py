@@ -44,8 +44,17 @@ def kind_of_key(col: F.Column) -> F.Column:
     affected-partition filter (isin on the delta's kinds) can never
     match — old rows in that partition would be silently dropped on
     the next upsert. Malformed ent: keys (no slash, empty kind
-    segment) therefore fall back to 'external'."""
-    kind = F.nullif(F.regexp_extract(col, r"^ent:([^/]+)/", 1),
+    segment) therefore fall back to 'external'.
+
+    The accepted kind charset is FILESYSTEM-LITERAL ([A-Za-z0-9_.-])
+    by construction: kind is a partition column, and Spark
+    Hive-escapes other bytes in the directory name (':' → '%3A'),
+    which would break merge_upsert's literal `col=value` directory
+    arithmetic (emptied-partition cleanup) — a user dictionary whose
+    canonical keys carry an exotic kind segment (`ent:a:b/x`) lands
+    in 'external' instead of minting an escaped partition dir. The
+    sink double-checks the same contract loudly (io.merge_upsert)."""
+    kind = F.nullif(F.regexp_extract(col, r"^ent:([A-Za-z0-9_.-]+)/", 1),
                     F.lit(""))
     return F.when(col.startswith("ent:guac/"), F.lit("unlinked")) \
         .when(col.startswith("ent:"),
@@ -176,6 +185,16 @@ def build_edges(resolved: DataFrame,
                     match_level_col(F.col("_best_rank"))
                     .alias("match_level"),
                     "subj_key", "obj_key", *extra))
+
+
+def page_map_fits_broadcast(n_rows: int) -> bool:
+    """Whether an extract-stage page map of `n_rows` rows fits the
+    64 MiB broadcast budget at ~150 B/row (url + ts + 'page:'+sha key).
+    Shared by the pipeline's edge build and the enrichment patch so the
+    same table can never get a different broadcast decision on the two
+    paths (round-4 review). Callers feed it the EXACT row count from
+    lineage, not Catalyst's estimate."""
+    return bool(n_rows) and n_rows * 150 <= 64 * 1024 * 1024
 
 
 def page_mention_edges(resolved: DataFrame,

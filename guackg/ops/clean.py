@@ -2,8 +2,10 @@
 pipeline a training-data team actually ships, built from the audited
 primitives in textstats/dedup (each of which carries its own oracle):
 
-    1. language gate      (textstats.language_id)
-    2. quality gate       (textstats.quality_score composite)
+    1. language gate      (textstats.lang_guess_col — the
+                           language_id expression)
+    2. quality gate       (textstats.quality_col — the quality_score
+                           composite expression)
     3. exact dedup        (dedup.exact_dedup: min doc_id per hash)
     4. near-dup collapse  (dedup.minhash_lsh_pairs →
                            dedup.near_dup_collapse: one representative
@@ -31,7 +33,7 @@ from pyspark.sql import functions as F
 
 from guackg.ops.dedup import (exact_dedup, minhash_lsh_pairs,
                               near_dup_collapse)
-from guackg.ops.textstats import language_id, quality_score
+from guackg.ops.textstats import lang_guess_col, quality_col
 
 CLEAN_STAGES = ("lang", "quality", "exact_dup", "near_dup", "kept")
 
@@ -54,10 +56,13 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     is a pure function of the corpus. NULL text carries no signal and
     exits at the language gate ('unknown' guess), consistent with the
     NULL quarantines inside simhash/minhash."""
-    lid = language_id(docs, text_col).select("doc_id", "lang_guess")
-    q = quality_score(docs, text_col).select("doc_id", "quality")
-    base = (docs.select("doc_id", text_col)
-            .join(lid, on="doc_id").join(q, on="doc_id"))
+    # both gate signals are row-wise expressions — ONE narrow
+    # projection, no doc_id self-joins (round-4 review: two corpus-wide
+    # joins for per-row columns; the expressions come from textstats so
+    # gate values stay identical to the oracle-checked frame functions)
+    base = docs.select("doc_id", text_col,
+                       lang_guess_col(text_col).alias("lang_guess"),
+                       quality_col(text_col).alias("quality"))
     base = base.withColumn(
         "_gate",
         F.when(~F.col("lang_guess").isin(*langs), F.lit("lang"))

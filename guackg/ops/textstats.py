@@ -22,22 +22,43 @@ def _count_words(col: str, words: list[str]) -> F.Column:
     return F.regexp_count(F.lower(F.col(col)), F.lit(pat))
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-ratio language guess (the DocumentType-guesser analog,
-    /root/reference/pkg/handler/processor/guesser/guesser.go:25-51:
-    registry of cheap sniffs, first confident hit wins)."""
+def lang_guess_col(text_col: str = "text") -> F.Column:
+    """The language-guess EXPRESSION alone — composable into a wider
+    projection (clean_corpus gates on it without a doc_id join)."""
     en, de, fr = (_count_words(text_col, w) for w in (_EN, _DE, _FR))
-    guess = (
+    return (
         F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
         .when((de >= fr) & (de > 0), F.lit("de"))
         .when(fr > 0, F.lit("fr"))
         .otherwise(F.lit("unknown"))
     )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language guess (the DocumentType-guesser analog,
+    /root/reference/pkg/handler/processor/guesser/guesser.go:25-51:
+    registry of cheap sniffs, first confident hit wins)."""
+    en, de, fr = (_count_words(text_col, w) for w in (_EN, _DE, _FR))
     return docs.select(
         "doc_id",
         en.alias("en_hits"), de.alias("de_hits"), fr.alias("fr_hits"),
-        guess.alias("lang_guess"),
+        lang_guess_col(text_col).alias("lang_guess"),
     )
+
+
+def quality_col(text_col: str = "text") -> F.Column:
+    """The composite quality-score EXPRESSION alone — same formula as
+    `quality_score`, composable without a doc_id join."""
+    length = F.length(F.col(text_col))
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    n_stop = _count_words(text_col, _EN)
+    punct_ratio = F.round(n_punct / F.greatest(length, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    return F.round(
+        F.when(length < 50, 0.0).otherwise(1.0)
+        * (1.0 - F.least(punct_ratio * 4, F.lit(1.0)))
+        * F.least(stop_ratio * 5 + 0.2, F.lit(1.0)), 6)
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -54,10 +75,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
     mean_word_len = F.round(
         (length - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 6)
-    score = F.round(
-        F.when(length < 50, 0.0).otherwise(1.0)
-        * (1.0 - F.least(punct_ratio * 4, F.lit(1.0)))
-        * F.least(stop_ratio * 5 + 0.2, F.lit(1.0)), 6)
+    score = quality_col(text_col)
     return docs.select(
         "doc_id", length.alias("n_chars_calc"), n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),

@@ -28,6 +28,7 @@ from guackg.link import (DRIVER_LINK_MAX_DICT, DRIVER_LINK_MAX_VOCAB,
                          identifier_candidates, link_mentions,
                          link_mentions_driver, mention_frequencies)
 from guackg.materialize import (build_edges, build_nodes,
+                                page_map_fits_broadcast,
                                 page_mention_edges, page_node_rows,
                                 resolve_triples)
 from guackg.triples import EXTRACTOR_VERSION, extract_triples
@@ -405,8 +406,8 @@ class KGPipeline:
                 # 'page:'+sha key). Real stats, not Catalyst's
                 # estimate — see page_mention_edges' contract.
                 ext_rec = self.lineage.read("extract")
-                bcast_map = bool(ext_rec) and \
-                    ext_rec["total_rows"] * 150 <= 64 * 1024 * 1024
+                bcast_map = page_map_fits_broadcast(
+                    ext_rec["total_rows"] if ext_rec else 0)
                 # widen the mentions branch's single exchange when the
                 # cluster has more cores than the table has buckets
                 # (key-deterministic salt — see page_mention_edges)
@@ -439,7 +440,7 @@ class KGPipeline:
             # the first write encodes straight out of the aggregation
             # (no sink spread). Incremental merges still respread the
             # old∪new union; fanout salts their jumbo-dir encodes.
-            fanout = max(1, min(8, self.spark.sparkContext.defaultParallelism))
+            fanout = gio.merge_fanout(self.spark)
             gio.merge_upsert(self.spark, edges, self._out("edges"),
                              keys=["subj_key", "pred", "obj_key"],
                              partition_by=["pred", "bucket"],

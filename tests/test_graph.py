@@ -149,6 +149,13 @@ def test_version_gated_traversal(spark):
                                 node_versions=vers).collect()}
     assert set(br) == {"app", "lib@1.2.0", "doc", "core@0.9.0"}
     assert br["core@0.9.0"] == (2, "lib@1.2.0")
+    # versions given but no constraint column: LOUD error, never a
+    # silently ungated (over-broad) closure — round-4 review #2
+    import pytest as _pytest
+    for fn in (reachable_from, blast_radius):
+        with _pytest.raises(ValueError, match="no 'constraint' column"):
+            fn(e.drop("constraint"), ["app"], max_depth=3,
+               node_versions=vers)
 
 
 def test_toposort_levels_dag_and_cycle(spark, edges):
@@ -237,7 +244,12 @@ def test_kind_of_key_never_empty(spark):
             "ent:/missing_kind",       # empty kind segment
             "ent:noslash",             # no slash at all
             "ent:guac/fallback",       # synthesized
-            "page:abc123", "something_else"]
+            "page:abc123", "something_else",
+            # kinds whose dir name Spark would HIVE-ESCAPE (':'→'%3A',
+            # space, '%') — they must fall back to 'external', never
+            # mint an escaped partition dir that breaks merge_upsert's
+            # literal col=value cleanup arithmetic (round-4 review #1)
+            "ent:a:b/x", "ent:with space/x", "ent:pc%t/x"]
     df = spark.createDataFrame([(k,) for k in keys], "k string")
     got = {r.k: r.kind for r in
            df.select("k", kind_of_key(F.col("k")).alias("kind")).collect()}
@@ -249,6 +261,9 @@ def test_kind_of_key_never_empty(spark):
     assert got["ent:guac/fallback"] == "unlinked"
     assert got["page:abc123"] == "page"
     assert got["something_else"] == "external"
+    assert got["ent:a:b/x"] == "external"
+    assert got["ent:with space/x"] == "external"
+    assert got["ent:pc%t/x"] == "external"
     assert all(k is not None and k != "" for k in got.values())
 
 

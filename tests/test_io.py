@@ -653,3 +653,35 @@ def test_merge_empty_delta_is_noop(spark, base):
                          partition_by=["pred", "bucket"],
                          commit_gate=gate, commit_abort=abort)
     assert _snapshot(table) == before
+
+
+def test_merge_rejects_hive_escaped_partition_values(spark, base):
+    """The pruned merge's directory arithmetic joins `col=value`
+    LITERALLY; Spark Hive-escapes other bytes in the real dir name
+    (':'→'%3A'), so a non-filesystem-literal partition value must fail
+    LOUDLY before any write — the silent alternative is a retracted
+    partition whose stale dir survives cleanup and resurrects deleted
+    rows (round-4 review #1). Producers already keep values safe by
+    construction (materialize.kind_of_key); this guards every other
+    caller."""
+    table, df = base
+    before = _snapshot(table)
+    bad = _bucketed(spark.createDataFrame(
+        [("k1", "a:b", 1)], "k string, pred string, v int"))
+    with pytest.raises(ValueError, match="not filesystem-literal"):
+        gio.merge_upsert(spark, bad, table, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"])
+    # leading '.'/'_' values are hidden from Spark's file index —
+    # equally unsafe as partition dir names
+    hidden = _bucketed(spark.createDataFrame(
+        [("k1", "_tmp", 1)], "k string, pred string, v int"))
+    with pytest.raises(ValueError, match="not filesystem-literal"):
+        gio.merge_upsert(spark, hidden, table, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"])
+    # delete-side values hit the same check
+    ok_empty = _bucketed(df.limit(0))
+    with pytest.raises(ValueError, match="not filesystem-literal"):
+        gio.merge_upsert(spark, ok_empty, table, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"],
+                         delete_keys=bad.select("k", "pred", "bucket"))
+    assert _snapshot(table) == before, "failed merge mutated the table"
