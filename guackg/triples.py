@@ -9,17 +9,25 @@ model parser, parser/spdx/parse_spdx.go) — as ONE vectorized
 PARSER REGISTRY (the reference's extensibility story —
 parser/parser.go:43-60 registers 11 document parsers keyed by
 DocumentType; the processor guesses the type first,
-guesser/guesser.go:25-51): two dialects here, routed per row by a
+guesser/guesser.go:25-51): three dialects here, routed per row by a
 format discriminator on the extracted text:
 
-- "text"  — the sentence grammar below (the SPDX-tag-value analog:
-  free-form surface text with a closed predicate lexicon);
+- "text"  — the sentence grammar below (free-form surface text with
+  a closed predicate lexicon);
 - "json"  — structured pages whose body is a compact JSON object
   `{"triples": [{"s": …, "p": pred_id, "o": …}, …]}` (the
   SPDX-JSON / JSON-LD analog: explicit, pre-normalized relations).
   Unknown predicate ids and malformed JSON are dropped row-wise —
   the parser-validation semantics of parse_spdx.go's rel map lookup
-  (unknown relationship → skipped, never a crash).
+  (unknown relationship → skipped, never a crash);
+- "tagvalue" — a `#KGTV` header then one `tag: value` line per field
+  (the SPDX tag-value analog: a stateful line parser where a new
+  `s:` tag starts a new record, exactly how a new `PackageName:`
+  starts a new package in tag-value SPDX). Record boundaries are
+  TAGS, not blank lines, because the extract stage's whitespace
+  collapse (extract.py spec step 5) drops empty lines — the dialect
+  is designed to survive its own ingest path. Incomplete records
+  and unknown predicate ids are skipped row-wise.
 
 Every triple is stamped `extractor = {EXTRACTOR_VERSION}/{dialect}` —
 per-parser lineage identity (the DSSE identity analog, T7), so
@@ -58,7 +66,7 @@ from pyspark.sql.types import (StringType, StructField, StructType,
 
 from guackg.vocab import ALL_PRED_SURFACES, PRED_SURFACES_BY_LEN
 
-EXTRACTOR_VERSION = "guackg-openie-0.2"
+EXTRACTOR_VERSION = "guackg-openie-0.3"
 
 # valid predicate ids for the structured dialect (closed vocabulary —
 # the rel-map validation of parse_spdx.go:434-453)
@@ -151,18 +159,52 @@ def parse_structured_json(text: str) -> list[tuple[str, str, str]]:
     return out
 
 
+def parse_tag_value(text: str) -> list[tuple[str, str, str]]:
+    """Tag-value dialect: stateful line parser (the SPDX tag-value
+    shape — tag_value parsing where a designated tag opens a new
+    element). `s:` starts a record; `p:`/`o:` fill it; a record emits
+    when all three are present AND the predicate id is in the closed
+    vocabulary (rel-map validation, parse_spdx.go:434-453). Repeated
+    tags before completion overwrite (last wins); unknown tags and
+    junk lines are skipped; nothing raises — a malformed document
+    yields 0..N valid records, never a task failure."""
+    out: list[tuple[str, str, str]] = []
+    s = p = o = None
+    for line in text.splitlines():
+        tag, sep, val = line.partition(":")
+        if not sep:
+            continue
+        tag, val = tag.strip().lower(), val.strip()
+        if tag == "s":
+            if s and o and p in VALID_PRED_IDS:
+                out.append((s, p, o))
+            s, p, o = val or None, None, None
+        elif tag == "p":
+            p = val or None
+        elif tag == "o":
+            o = val or None
+    if s and o and p in VALID_PRED_IDS:
+        out.append((s, p, o))
+    return out
+
+
 # dialect registry: format id -> pure text->triples function
 PARSERS: dict[str, object] = {
     "text": extract_triples_from_text,
     "json": parse_structured_json,
+    "tagvalue": parse_tag_value,
 }
 
 
 def guess_format(text: str) -> str:
-    """P2 format discriminator (guesser.go:25-51): structured pages
-    are compact JSON objects, so a leading '{' routes to the json
-    parser; everything else is sentence text."""
-    return "json" if text.lstrip()[:1] == "{" else "text"
+    """P2 format discriminator (guesser.go:25-51): a `#KGTV` header
+    routes to the tag-value parser; structured pages are compact JSON
+    objects, so a leading '{' routes to the json parser; everything
+    else is sentence text."""
+    head = text.lstrip()
+    if head.startswith("#KGTV"):
+        return "tagvalue"
+    return "json" if head[:1] == "{" else "text"
 
 
 def extract_triples(pages_with_text: DataFrame,

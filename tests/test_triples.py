@@ -100,3 +100,80 @@ def test_structured_json_malformed_triples_value_skips():
                  '{"triples": "x"}', '{"triples": {"s": 1}}',
                  '{"no_triples": []}', '[1,2]', 'not json', ''):
         assert parse_structured_json(body) == [], body
+
+
+def test_tag_value_dialect_pure():
+    """Third registry dialect (T3/T6 — parser/parser.go:43-60
+    registers many formats): SPDX-tag-value-shaped stateful line
+    parser. Record boundary is the `s:` tag (extract's whitespace
+    collapse drops blank lines, so boundaries must be tags); unknown
+    predicate ids and incomplete records skip row-wise; junk lines
+    and unknown tags are ignored; nothing raises."""
+    from guackg.triples import guess_format, parse_tag_value
+    doc = ("#KGTV v1\n"
+           "title: Bulletin 7\n"
+           "s: Acme Industries\n"
+           "p: acquired\n"
+           "o: Widget X\n"
+           "s: Ada Lovelace\n"
+           "p: bogus_rel\n"
+           "o: Compiler X\n"
+           "s: Grace Hopper\n"
+           "p: works_for\n"
+           "junk line without a tag\n"
+           "o: Initech Labs\n"
+           "s: Incomplete Record\n"
+           "p: wrote\n")
+    assert guess_format(doc) == "tagvalue"
+    assert parse_tag_value(doc) == [
+        ("Acme Industries", "acquired", "Widget X"),
+        ("Grace Hopper", "works_for", "Initech Labs"),
+    ]
+    # repeated tag before the record closes: last wins
+    assert parse_tag_value(
+        "#KGTV v1\ns: A\np: wrote\np: leads\no: B\n") == \
+        [("A", "leads", "B")]
+    # empty values never emit; header-only yields nothing
+    assert parse_tag_value("#KGTV v1\ns:\np: wrote\no: X\n") == []
+    assert parse_tag_value("#KGTV v1\n") == []
+    # the other discriminator branches are unaffected
+    assert guess_format('{"triples": []}') == "json"
+    assert guess_format("Ada wrote X.") == "text"
+
+
+def test_tag_value_spark_end_to_end(spark):
+    """All three dialects through the REAL ingest path (html bytes →
+    extract → mapInPandas triples): tag-value records survive the
+    extraction whitespace collapse by design, and each dialect stamps
+    its own extractor lineage id (T7)."""
+    from datetime import datetime
+    ts = datetime(2024, 1, 1)
+    pages = [
+        ("https://a.example.com/tv", ts,
+         b"#KGTV v1\ntitle: B\ns: Acme Industries\np: acquired\n"
+         b"o: Widget X\ns: Grace Hopper\np: works_for\no: Initech Labs\n",
+         "en"),
+        ("https://a.example.com/txt", ts,
+         b"<p>Ada Lovelace wrote Compiler X.</p>", "en"),
+        ("https://a.example.com/json", ts,
+         b'{"triples":[{"s":"Widget X","p":"exports","o":"Berlin"}]}',
+         "en"),
+        # tagvalue page in a filtered-out language: never parsed
+        ("https://a.example.com/de", ts,
+         b"#KGTV v1\ns: Der Ort\np: located_in\no: Berlin\n", "de"),
+    ]
+    df = spark.createDataFrame(
+        pages, "url string, warc_ts timestamp, html binary, lang string")
+    got = extract_triples(extract(df))
+    rows = {(r.url, r.subj_surface, r.pred, r.obj_surface,
+             r.extractor.rsplit("/", 1)[1]) for r in got.collect()}
+    assert rows == {
+        ("https://a.example.com/tv", "Acme Industries", "acquired",
+         "Widget X", "tagvalue"),
+        ("https://a.example.com/tv", "Grace Hopper", "works_for",
+         "Initech Labs", "tagvalue"),
+        ("https://a.example.com/txt", "Ada Lovelace", "wrote",
+         "Compiler X", "text"),
+        ("https://a.example.com/json", "Widget X", "exports",
+         "Berlin", "json"),
+    }
