@@ -117,6 +117,29 @@ def _q_winnow_pairs(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style line-repetition signals. Full SQL-oracle parity is
+    held IN-SUITE (tests/test_textclean.py runs the exact DuckDB
+    analog over this same table) — kept out of queries() only because
+    the registered battery is pinned at 50 oracle-backed entries."""
+    from guackg.ops.textstats import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_top_ngram(spark, sf_dir):
+    """Top word-2-gram share per doc (Gopher repetition filter);
+    DuckDB parity in tests/test_textclean.py."""
+    from guackg.ops.textstats import top_ngram_stats
+    return top_ngram_stats(_docs(spark, sf_dir), n=2).orderBy("doc_id")
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII detection counts + redacted text; byte-exact DuckDB parity
+    (counts AND redacted strings) in tests/test_textclean.py."""
+    from guackg.ops.pii import pii_redact
+    return pii_redact(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_clean_stages(spark, sf_dir):
     """Composed C4-style corpus cleaning (lang gate → quality gate →
     exact dedup → MinHash near-dup collapse) as per-stage attrition
@@ -861,14 +884,20 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_minhash_containment / dedup_simhash_exactness /
     emb_lsh_containment / ann_lsh_containment assert violations == ∅
     against exact recomputation — plus pytest recall bounds
-    (tests/test_ops.py). Kept out of queries() so the driver's
-    50-entry correctness record covers every registered query with an
-    oracle row (round-3 verdict task #2); bench.py and tests drive
-    these directly."""
+    (tests/test_ops.py). The text_repetition/top_ngram/pii entries DO
+    have exact SQL analogs; their value parity is held in-suite
+    (tests/test_textclean.py runs the DuckDB oracle over the same
+    table). All kept out of queries() so the driver's 50-entry
+    correctness record covers every registered query with an oracle
+    row (round-3 verdict task #2); bench.py and tests drive these
+    directly."""
     return {
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "corpus_clean_stages": _q_clean_stages,
+        "text_repetition_stats": _q_repetition_stats,
+        "text_top_ngram": _q_top_ngram,
+        "pii_redact": _q_pii_redact,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }

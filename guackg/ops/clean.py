@@ -33,23 +33,28 @@ from pyspark.sql import functions as F
 
 from guackg.ops.dedup import (exact_dedup, minhash_lsh_pairs,
                               near_dup_collapse)
-from guackg.ops.textstats import lang_guess_col, quality_col
+from guackg.ops.textstats import (lang_guess_col, quality_col,
+                                  repetition_col)
 
-CLEAN_STAGES = ("lang", "quality", "exact_dup", "near_dup", "kept")
+CLEAN_STAGES = ("lang", "quality", "repetition", "exact_dup",
+                "near_dup", "kept")
 
 
 def clean_corpus(docs: DataFrame, text_col: str = "text",
                  langs: tuple[str, ...] = ("en",),
                  min_quality: float = 0.3,
-                 near_threshold: float = 0.8) -> DataFrame:
+                 near_threshold: float = 0.8,
+                 max_dup_line_frac: float | None = None) -> DataFrame:
     """docs(doc_id, text, …) → one row per input doc:
-    (doc_id, lang_guess, quality, stage, cluster_id, keep).
+    (doc_id, lang_guess, quality, dup_line_frac, stage, cluster_id,
+    keep).
 
     `stage` is the FIRST gate that dropped the doc ('lang', 'quality',
-    'exact_dup', 'near_dup') or 'kept'. `cluster_id` is the near-dup
-    component representative for docs that reached stage 4 (its own
-    doc_id for singletons; NULL for docs dropped earlier). `keep` is
-    (stage == 'kept').
+    'repetition' when `max_dup_line_frac` is set — the Gopher
+    duplicate-line filter — 'exact_dup', 'near_dup') or 'kept'.
+    `cluster_id` is the near-dup component representative for docs
+    that reached the last stage (its own doc_id for singletons; NULL
+    for docs dropped earlier). `keep` is (stage == 'kept').
 
     Determinism: every tie-break is the smallest doc_id (exact_dedup's
     window order; near_dup_collapse's component min), so the kept set
@@ -62,11 +67,14 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     # gate values stay identical to the oracle-checked frame functions)
     base = docs.select("doc_id", text_col,
                        lang_guess_col(text_col).alias("lang_guess"),
-                       quality_col(text_col).alias("quality"))
-    base = base.withColumn(
-        "_gate",
-        F.when(~F.col("lang_guess").isin(*langs), F.lit("lang"))
-        .when(F.col("quality") < F.lit(min_quality), F.lit("quality")))
+                       quality_col(text_col).alias("quality"),
+                       repetition_col(text_col).alias("dup_line_frac"))
+    gate = (F.when(~F.col("lang_guess").isin(*langs), F.lit("lang"))
+            .when(F.col("quality") < F.lit(min_quality), F.lit("quality")))
+    if max_dup_line_frac is not None:
+        gate = gate.when(F.col("dup_line_frac") > F.lit(max_dup_line_frac),
+                         F.lit("repetition"))
+    base = base.withColumn("_gate", gate)
 
     gated = base.filter(F.col("_gate").isNull()) \
         .select("doc_id", text_col)
@@ -85,7 +93,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
            .join(collapse.withColumnRenamed("keep", "_nd_keep"),
                  on="doc_id", how="left")
            .select(
-               "doc_id", "lang_guess", "quality",
+               "doc_id", "lang_guess", "quality", "dup_line_frac",
                F.coalesce(
                    F.col("_gate"),
                    F.when(F.col("_ex").isNull(), F.lit("exact_dup"))

@@ -108,6 +108,97 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _lines(text_col: str) -> F.Column:
+    """Non-empty trimmed lines of a document — the unit of the
+    repetition signals. NULL text yields a NULL array (callers guard
+    with size() > 0, which is false for NULL's size -1)."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""))
+
+
+def repetition_col(text_col: str = "text") -> F.Column:
+    """Duplicate-line fraction EXPRESSION alone (composable into
+    clean_corpus's single gate projection): 1 - distinct/total over
+    non-empty trimmed lines; 0.0 for NULL/line-less text. The
+    boilerplate-repetition signal of the Gopher quality rules (Rae et
+    al. 2021, public paper) — the analog of the reference's per-type
+    validators that reject degenerate documents before parsing
+    (/root/reference/pkg/handler/processor/process/process.go:182-207)."""
+    lines = _lines(text_col)
+    n = F.size(lines)
+    return (F.when(n > 0,
+                   F.round(F.lit(1.0)
+                           - F.size(F.array_distinct(lines)) / n, 6))
+            .otherwise(F.lit(0.0)))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc line-repetition signals (Gopher repetition filters):
+    n_lines, dup_line_frac (fraction of line INSTANCES that are
+    repeats), dup_line_char_frac (fraction of line CHARACTERS inside
+    repeated instances). Pure built-ins — split/transform/filter/
+    array_distinct/concat_ws — whole-stage codegen, narrow, no
+    shuffle; the 100-TB shape is a projection. Exact DuckDB-parity
+    oracle in tests/test_textclean.py."""
+    lines = _lines(text_col)
+    n = F.size(lines)
+    tot = F.length(F.concat_ws("", lines))
+    uniq = F.length(F.concat_ws("", F.array_distinct(lines)))
+    return docs.select(
+        "doc_id",
+        F.greatest(n, F.lit(0)).alias("n_lines"),
+        repetition_col(text_col).alias("dup_line_frac"),
+        F.when(tot > 0, F.round(F.lit(1.0) - uniq / tot, 6))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+
+
+def top_ngram_stats(docs: DataFrame, text_col: str = "text",
+                    n: int = 2) -> DataFrame:
+    """Most-frequent word n-gram per doc and its share of all n-grams
+    (the Gopher top-n-gram repetition filter). One row per input doc:
+    (doc_id, n_grams, top_gram, top_count, top_frac); docs with < n
+    words get (0, NULL, 0, 0.0).
+
+    Tie-break is deterministic: max count, then lexicographically
+    LARGEST gram (binary collation — identical in DuckDB), via a
+    single max(struct(cnt, gram)) aggregate. Scale shape: the explode
+    keys every shuffle by doc_id (+gram), so head documents cannot
+    skew a partition beyond their own gram count; no corpus-wide
+    window. Exact DuckDB-parity oracle in tests/test_textclean.py."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
+        lambda x: x != F.lit(""))
+    # sequence(1, k) DESCENDS when k < 1 — gate the gram build on
+    # size >= n so short docs yield an empty array, not [1, 0]
+    base = docs.select("doc_id", words.alias("_w")).select(
+        "doc_id",
+        F.when(F.size("_w") >= n, F.size("_w") - (n - 1))
+        .otherwise(F.lit(0)).alias("n_grams"),
+        F.when(F.size("_w") >= n,
+               F.expr(f"transform(sequence(1, size(_w) - {n} + 1), "
+                      f"i -> array_join(slice(_w, i, {n}), ' '))"))
+        .otherwise(F.expr("cast(array() as array<string>)"))
+        .alias("_grams"))
+    top = (base.select("doc_id", F.explode("_grams").alias("gram"))
+           .groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+           .groupBy("doc_id")
+           .agg(F.max(F.struct("cnt", "gram")).alias("_top"))
+           .select("doc_id", F.col("_top.gram").alias("top_gram"),
+                   F.col("_top.cnt").alias("top_count")))
+    return (base.select("doc_id", "n_grams")
+            .join(top, on="doc_id", how="left")
+            .select(
+                "doc_id", "n_grams", "top_gram",
+                F.coalesce("top_count", F.lit(0)).alias("top_count"),
+                F.when(F.col("n_grams") > 0,
+                       F.round(F.coalesce("top_count", F.lit(0))
+                               / F.col("n_grams"), 6))
+                .otherwise(F.lit(0.0)).alias("top_frac")))
+
+
 # winnowing constants: k-gram length, window width, polynomial base/mod
 # (base-31 mod 1e9+7 — computable identically in any engine with
 # 64-bit ints, unlike xxhash64; Schleimer/Wilkerson/Aiken winnowing,

@@ -1,6 +1,7 @@
 """spark-submit entry point for corpus cleaning — runs the composed
 C4/RefinedWeb-style gate chain (guackg/ops/clean.py: language gate →
-quality gate → exact dedup → MinHash near-dup collapse) over a parquet
+quality gate → optional Gopher repetition gate (--max-dup-line-frac)
+→ exact dedup → MinHash near-dup collapse) over a parquet
 documents table and ships the kept corpus plus a full per-doc audit.
 
 The reference's analog surface is the processor's validate/quarantine
@@ -42,7 +43,8 @@ def run_clean(spark, args) -> dict:
     langs = tuple(s.strip() for s in args.langs.split(",") if s.strip())
     audit = clean_corpus(docs, text_col=args.text_col, langs=langs,
                          min_quality=args.min_quality,
-                         near_threshold=args.near_threshold)
+                         near_threshold=args.near_threshold,
+                         max_dup_line_frac=args.max_dup_line_frac)
     if args.out:
         # audit is consumed twice (kept join + stats); one write
         # materializes it so the LSH stage runs once
@@ -73,6 +75,9 @@ def main() -> None:
                     help="comma-separated languages to keep")
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="enable the Gopher duplicate-line repetition "
+                         "gate at this threshold (off by default)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 

@@ -1,0 +1,219 @@
+"""DuckDB-parity tests for the round-4 text-cleaning additions:
+Gopher-style repetition stats, top-n-gram stats, and PII redaction.
+Each Spark op is re-expressed as plain SQL over the SAME rows in
+DuckDB and compared value-exactly — the same oracle discipline as the
+driver gate, held in-suite because the registered battery is pinned
+at 50 queries (round-3 verdict task #2)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# crafted rows exercising every edge: duplicate lines, blank lines,
+# NULL text, sub-n-gram docs, tie-broken top grams, each PII category,
+# PII adjacency (digits inside emails / dotted quads near phones)
+CRAFTED = [
+    (1, "alpha beta\nalpha beta\n\n  gamma  \nalpha beta"),
+    (2, "one line only"),
+    (3, None),
+    (4, ""),
+    (5, "a b a b a b c"),                       # top 2-gram 'a b' x3
+    (6, "x y\ny x"),                            # tie: 'x y' vs 'y x'
+    (7, "short"),                               # < 2 words -> no grams
+    (8, "mail me at jo.doe+spam@ex-ample.co.uk or admin@host.io now"),
+    (9, "server at 10.0.255.7 and 192.168.1.1, call +1 555-123-4567"),
+    (10, "digits 4155551234567 then 12.34.56.78 and a@b.cc mixed"),
+    (11, "line\nline\nline\nother"),
+]
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    return spark.createDataFrame(CRAFTED, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _duck(rows_df):
+    con = duckdb.connect()
+    con.register("docs", rows_df)
+    return con
+
+
+def _pdf(df):
+    return df.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+REP_SQL = """
+WITH L AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM docs)
+SELECT doc_id,
+  CASE WHEN lines IS NULL THEN 0 ELSE len(lines) END AS n_lines,
+  CASE WHEN lines IS NOT NULL AND len(lines) > 0
+       THEN round(1 - len(list_distinct(lines))::double / len(lines), 6)
+       ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN lines IS NOT NULL
+            AND coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+       THEN round(1 - list_sum(list_transform(list_distinct(lines),
+                                              x -> length(x)))::double
+                      / list_sum(list_transform(lines, x -> length(x))), 6)
+       ELSE 0.0 END AS dup_line_char_frac
+FROM L ORDER BY doc_id
+"""
+
+
+def _assert_frames_equal(got: pd.DataFrame, want: pd.DataFrame):
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:  # normalize NaN vs None in string columns
+        if got[c].dtype == object or want[c].dtype == object:
+            got[c] = got[c].where(pd.notnull(got[c]), None)
+            want[c] = want[c].where(pd.notnull(want[c]), None)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, atol=1e-9)
+
+
+@pytest.mark.parametrize("src", ["crafted", "sf_docs"])
+def test_repetition_stats_vs_duckdb(request, src):
+    from guackg.ops.textstats import repetition_stats
+    docs = request.getfixturevalue(src)
+    got = _pdf(repetition_stats(docs))
+    con = _duck(docs.select("doc_id", "text").toPandas())
+    want = con.execute(REP_SQL).df()
+    _assert_frames_equal(got, want)
+
+
+TOPGRAM_SQL = """
+WITH W AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                        '\\s+'),
+                     x -> x <> '') AS w
+  FROM docs),
+B AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {n} THEN len(w) - {n} + 1 ELSE 0 END AS n_grams,
+         CASE WHEN len(w) >= {n}
+              THEN list_transform(range(1, len(w) - {n} + 2),
+                   i -> array_to_string(list_slice(w, i, i + {n} - 1), ' '))
+              ELSE [] END AS grams
+  FROM W),
+K AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM B) GROUP BY 1, 2),
+T AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram DESC) AS rn
+  FROM K)
+SELECT B.doc_id, B.n_grams, T.gram AS top_gram,
+       coalesce(T.cnt, 0) AS top_count,
+       CASE WHEN B.n_grams > 0
+            THEN round(coalesce(T.cnt, 0)::double / B.n_grams, 6)
+            ELSE 0.0 END AS top_frac
+FROM B LEFT JOIN (SELECT * FROM T WHERE rn = 1) T USING (doc_id)
+ORDER BY B.doc_id
+"""
+
+
+@pytest.mark.parametrize("src,n", [("crafted", 2), ("crafted", 3),
+                                   ("sf_docs", 2)])
+def test_top_ngram_stats_vs_duckdb(request, src, n):
+    from guackg.ops.textstats import top_ngram_stats
+    docs = request.getfixturevalue(src)
+    got = _pdf(top_ngram_stats(docs, n=n))
+    con = _duck(docs.select("doc_id", "text").toPandas())
+    want = con.execute(TOPGRAM_SQL.format(n=n)).df()
+    _assert_frames_equal(got, want)
+
+
+def test_top_ngram_golden(crafted):
+    from guackg.ops.textstats import top_ngram_stats
+    got = {r.doc_id: (r.n_grams, r.top_gram, r.top_count, r.top_frac)
+           for r in top_ngram_stats(crafted, n=2).collect()}
+    assert got[5] == (6, "a b", 3, 0.5)
+    # doc 6 grams: 'x y', 'y y', 'y x' (the \n is whitespace), all
+    # count 1 -> tie-break keeps the lexicographically largest
+    assert got[6] == (3, "y y", 1, round(1 / 3, 6))
+    assert got[7] == (0, None, 0, 0.0)
+    assert got[3] == (0, None, 0, 0.0)
+
+
+PII_SQL = """
+SELECT doc_id,
+  coalesce(len(regexp_extract_all(text, ?)), 0) AS n_emails,
+  coalesce(len(regexp_extract_all(
+      regexp_replace(text, ?, '<EMAIL>', 'g'), ?)), 0) AS n_ips,
+  coalesce(len(regexp_extract_all(
+      regexp_replace(regexp_replace(text, ?, '<EMAIL>', 'g'),
+                     ?, '<IP>', 'g'), ?)), 0) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text, ?, '<EMAIL>', 'g'),
+                                ?, '<IP>', 'g'),
+                 ?, '<PHONE>', 'g') AS redacted
+FROM docs ORDER BY doc_id
+"""
+
+
+@pytest.mark.parametrize("src", ["crafted", "sf_docs"])
+def test_pii_redact_vs_duckdb(request, src):
+    from guackg.ops.pii import PII_EMAIL, PII_IPV4, PII_PHONE, pii_redact
+    docs = request.getfixturevalue(src)
+    got = _pdf(pii_redact(docs))
+    con = _duck(docs.select("doc_id", "text").toPandas())
+    e, i, p = PII_EMAIL, PII_IPV4, PII_PHONE
+    want = con.execute(PII_SQL, [e, e, i, e, i, p, e, i, p]).df()
+    _assert_frames_equal(got, want)
+
+
+def test_pii_redact_golden(crafted):
+    from guackg.ops.pii import pii_redact
+    got = {r.doc_id: r for r in pii_redact(crafted).collect()}
+    r8 = got[8]
+    assert (r8.n_emails, r8.n_ips, r8.n_phones) == (2, 0, 0)
+    assert r8.redacted == "mail me at <EMAIL> or <EMAIL> now"
+    r9 = got[9]
+    assert r9.n_emails == 0 and r9.n_ips == 2 and r9.n_phones == 1
+    assert "<IP>" in r9.redacted and "<PHONE>" in r9.redacted
+    assert "555" not in r9.redacted
+    r3 = got[3]
+    assert (r3.n_emails, r3.n_ips, r3.n_phones) == (0, 0, 0)
+    assert r3.redacted is None
+
+
+def test_clean_corpus_repetition_gate(spark):
+    """The optional Gopher gate drops exactly the high-dup-line-frac
+    docs that survived lang+quality, records them at stage
+    'repetition', and stays off by default (schema aside, the default
+    output is unchanged)."""
+    from guackg.ops.clean import CLEAN_STAGES, clean_corpus
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a friend to rest for a while longer")
+    # same quality-passing sentence stacked as 6 duplicate lines
+    # (dup_line_frac 5/6) vs 6 distinct lines (frac 0). The varied
+    # doc adds 18 unique words so its word-Jaccard vs `good` is
+    # ~0.54 — safely below the 0.8 near-dup threshold (an earlier
+    # draft landed at exactly 0.807, a flaky boundary)
+    repetitive = "\n".join([good] * 6)
+    varied = "\n".join(f"{good} plus unique{i} words{i} here{i}"
+                       for i in range(6))
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, varied), (3, good)],
+        "doc_id long, text string")
+    gated = {r.doc_id: (r.stage, r.keep, r.dup_line_frac)
+             for r in clean_corpus(docs, max_dup_line_frac=0.5).collect()}
+    assert gated[1][0] == "repetition" and gated[1][1] is False
+    assert gated[1][2] == round(5 / 6, 6)
+    assert gated[2][0] == "kept"
+    assert gated[3][0] == "kept"
+    assert "repetition" in CLEAN_STAGES
+
+    off = {r.doc_id: r.stage for r in clean_corpus(docs).collect()}
+    assert off[1] == "kept"  # gate disabled by default
