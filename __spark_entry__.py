@@ -140,6 +140,13 @@ def _q_pii_redact(spark, sf_dir):
     return pii_redact(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style duplicated-paragraph removal with in-order text
+    reconstruction; exact DuckDB parity in tests/test_textclean.py."""
+    from guackg.ops.dedup import paragraph_dedup
+    return paragraph_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_clean_stages(spark, sf_dir):
     """Composed C4-style corpus cleaning (lang gate → quality gate →
     exact dedup → MinHash near-dup collapse) as per-stage attrition
@@ -898,6 +905,7 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": _q_repetition_stats,
         "text_top_ngram": _q_top_ngram,
         "pii_redact": _q_pii_redact,
+        "dedup_paragraphs": _q_paragraph_dedup,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }

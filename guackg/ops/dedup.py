@@ -458,3 +458,66 @@ def near_dup_collapse(docs: DataFrame, pairs: DataFrame,
     return (m.join(reps, on="ckey")
             .select("doc_id", "cluster_id",
                     (F.col("doc_id") == F.col("cluster_id")).alias("keep")))
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    ) -> DataFrame:
+    """Paragraph-level deduplication (the CCNet/C4 boilerplate-removal
+    shape, public practice): every line-delimited paragraph keeps only
+    its GLOBALLY FIRST occurrence — the smallest (doc_id, position) —
+    and later copies are dropped from their documents; the surviving
+    paragraphs are re-joined in original order.
+
+    Output: one row per input doc —
+    (doc_id, text_dedup, n_pars, n_dropped). Empty/whitespace-only
+    paragraphs carry no content and are dropped from the
+    reconstruction (n_pars counts non-empty paragraphs only); NULL
+    text → (NULL, 0, 0). Paragraph identity is md5 of the trimmed
+    lowercased paragraph — engine-portable, so the whole op has an
+    exact DuckDB oracle (tests/test_textclean.py).
+
+    Determinism: the winner per paragraph is min(struct(doc_id, pos))
+    — a total order, so the kept set is a pure function of the corpus.
+
+    Scale shape: the winner aggregation is an algebraic min — map-side
+    combinable, so a boilerplate paragraph in 10^9 docs contributes
+    one row per map partition, not 10^9 shuffle rows. The join of the
+    paragraph stream back to the O(distinct) winner table is an
+    equi-join on the paragraph hash; hot boilerplate keys skew its
+    probe side, which AQE's skew-join split handles (the build side is
+    one row per key, cheap to replicate). Reconstruction groups by
+    doc_id — per-doc cardinality, no head-key skew."""
+    pars = (docs
+            .select("doc_id",
+                    F.posexplode(F.split(F.col(text_col), r"\n"))
+                    .alias("pos", "par"))
+            .withColumn("par", F.trim(F.col("par")))
+            .filter(F.col("par") != "")
+            .withColumn("pkey", F.md5(F.lower(F.col("par")))))
+    winners = (pars.groupBy("pkey")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("w")))
+    kept = (pars.join(winners, on="pkey")
+            .filter((F.col("doc_id") == F.col("w.doc_id"))
+                    & (F.col("pos") == F.col("w.pos"))))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "par"))),
+                           lambda s: s["par"]),
+                       "\n").alias("text_dedup"),
+                    F.count("*").alias("n_kept")))
+    totals = pars.groupBy("doc_id").agg(F.count("*").alias("n_pars"))
+    return (docs.select("doc_id", F.col(text_col).isNull().alias("_tnull"))
+            .join(totals, on="doc_id", how="left")
+            .join(rebuilt.select("doc_id", "text_dedup", "n_kept"),
+                  on="doc_id", how="left")
+            .select(
+                "doc_id",
+                # NULL in → NULL out; all-paragraphs-dropped → ''
+                F.when(F.col("_tnull"), F.lit(None).cast("string"))
+                .otherwise(F.coalesce("text_dedup", F.lit("")))
+                .alias("text_dedup"),
+                F.coalesce("n_pars", F.lit(0)).alias("n_pars"),
+                (F.coalesce("n_pars", F.lit(0))
+                 - F.coalesce("n_kept", F.lit(0))).alias("n_dropped")))

@@ -1,5 +1,6 @@
 """DuckDB-parity tests for the round-4 text-cleaning additions:
-Gopher-style repetition stats, top-n-gram stats, and PII redaction.
+Gopher-style repetition stats, top-n-gram stats, PII redaction, and
+CCNet-style paragraph-level dedup.
 Each Spark op is re-expressed as plain SQL over the SAME rows in
 DuckDB and compared value-exactly — the same oracle discipline as the
 driver gate, held in-suite because the registered battery is pinned
@@ -217,3 +218,57 @@ def test_clean_corpus_repetition_gate(spark):
 
     off = {r.doc_id: r.stage for r in clean_corpus(docs).collect()}
     assert off[1] == "kept"  # gate disabled by default
+
+
+PARDEDUP_SQL = """
+WITH L AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM docs),
+P AS (
+  SELECT doc_id, s['pos'] AS pos, s['par'] AS par,
+         md5(lower(s['par'])) AS pkey
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+          i -> {'pos': i, 'par': trim(ls[i])})) AS s FROM L)
+  WHERE s['par'] <> ''),
+K AS (SELECT *, row_number() OVER (PARTITION BY pkey
+                                   ORDER BY doc_id, pos) AS rn FROM P),
+R AS (SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS text_dedup,
+             count(*) AS n_kept
+      FROM K WHERE rn = 1 GROUP BY doc_id),
+T AS (SELECT doc_id, count(*) AS n_pars FROM P GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL
+       ELSE coalesce(R.text_dedup, '') END AS text_dedup,
+  coalesce(T.n_pars, 0) AS n_pars,
+  coalesce(T.n_pars, 0) - coalesce(R.n_kept, 0) AS n_dropped
+FROM docs d LEFT JOIN T USING (doc_id) LEFT JOIN R USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@pytest.mark.parametrize("src", ["crafted", "sf_docs"])
+def test_paragraph_dedup_vs_duckdb(request, src):
+    from guackg.ops.dedup import paragraph_dedup
+    docs = request.getfixturevalue(src)
+    got = _pdf(paragraph_dedup(docs))
+    con = _duck(docs.select("doc_id", "text").toPandas())
+    want = con.execute(PARDEDUP_SQL).df()
+    _assert_frames_equal(got, want)
+
+
+def test_paragraph_dedup_golden(spark):
+    """Within-doc and cross-doc duplicate paragraphs keep only the
+    globally-first (doc_id, pos) occurrence; identity is
+    case-insensitive trimmed; NULL text passes through as NULL and an
+    all-boilerplate doc collapses to ''."""
+    from guackg.ops.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "Home | About\nUnique content one\nHome | About"),
+         (2, "home | about\nUnique content two"),
+         (3, None),
+         (4, "Home | About")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.text_dedup, r.n_pars, r.n_dropped)
+           for r in paragraph_dedup(docs).collect()}
+    assert got[1] == ("Home | About\nUnique content one", 3, 1)
+    assert got[2] == ("Unique content two", 2, 1)
+    assert got[3] == (None, 0, 0)
+    assert got[4] == ("", 1, 1)
