@@ -387,12 +387,18 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str,
         # int buckets); anything else must fail here, not corrupt.
         for r in affected:
             for c, v in zip(partition_by, r):
-                if _PART_VALUE_SAFE.match(str(v)) is None:
+                # NULL and bool never match their on-disk form even
+                # though str() launders them ('None' vs
+                # __HIVE_DEFAULT_PARTITION__, 'True' vs 'true') —
+                # reject by type, not string form
+                if (v is None or isinstance(v, bool)
+                        or _PART_VALUE_SAFE.match(str(v)) is None):
                     raise ValueError(
                         f"merge_upsert: partition value {v!r} for "
                         f"column {c!r} is not filesystem-literal "
-                        "([A-Za-z0-9_.-]+); Hive-escaped directory "
-                        "names break the pruned-merge swap contract")
+                        "([A-Za-z0-9][A-Za-z0-9_.-]*, non-NULL, "
+                        "non-bool); Hive-encoded directory names "
+                        "break the pruned-merge swap contract")
         if not affected:
             # zero new rows and zero deletes: MERGE of an empty delta
             # is a no-op (an empty streaming micro-batch, a promotion

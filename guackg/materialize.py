@@ -54,8 +54,12 @@ def kind_of_key(col: F.Column) -> F.Column:
     canonical keys carry an exotic kind segment (`ent:a:b/x`) lands
     in 'external' instead of minting an escaped partition dir. The
     sink double-checks the same contract loudly (io.merge_upsert)."""
-    kind = F.nullif(F.regexp_extract(col, r"^ent:([A-Za-z0-9_.-]+)/", 1),
-                    F.lit(""))
+    # first char must be alphanumeric — EXACTLY io._PART_VALUE_SAFE's
+    # rule, or a key like 'ent:_private/x' would mint a kind the sink
+    # guard rejects (crash) instead of falling back to 'external'
+    kind = F.nullif(
+        F.regexp_extract(col, r"^ent:([A-Za-z0-9][A-Za-z0-9_.-]*)/", 1),
+        F.lit(""))
     return F.when(col.startswith("ent:guac/"), F.lit("unlinked")) \
         .when(col.startswith("ent:"),
               F.coalesce(kind, F.lit("external"))) \

@@ -74,7 +74,12 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     if max_dup_line_frac is not None:
         gate = gate.when(F.col("dup_line_frac") > F.lit(max_dup_line_frac),
                          F.lit("repetition"))
-    base = base.withColumn("_gate", gate)
+    # the audit plan consumes `base` through three join branches and
+    # the near-dup stage drives eager CC jobs over `survivors` — cache
+    # both so the corpus is scanned and gated once, not once per
+    # branch (review finding, round 4). Caches are left for the
+    # caller's action; spark.catalog.clearCache() reclaims them.
+    base = base.withColumn("_gate", gate).persist()
 
     gated = base.filter(F.col("_gate").isNull()) \
         .select("doc_id", text_col)
@@ -83,7 +88,8 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     ex_keep = exact_dedup(gated, text_col).select("doc_id") \
         .withColumn("_ex", F.lit(1))
 
-    survivors = gated.join(ex_keep.select("doc_id"), on="doc_id")
+    survivors = gated.join(ex_keep.select("doc_id"), on="doc_id") \
+        .persist()
     pairs = minhash_lsh_pairs(survivors, text_col,
                               threshold=near_threshold)
     collapse = near_dup_collapse(survivors, pairs)  # doc_id, cluster_id, keep
@@ -106,7 +112,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
 def clean_corpus_stats(cleaned: DataFrame) -> DataFrame:
     """Per-stage attrition rollup of a `clean_corpus` output — the
     counters a cleaning run reports (docs in, dropped per gate, kept).
-    One tiny agg; `stage` has cardinality 5."""
+    One tiny agg; `stage` has cardinality len(CLEAN_STAGES) (6)."""
     return (cleaned.groupBy("stage")
             .agg(F.count("*").alias("n_docs"))
             .orderBy("stage"))

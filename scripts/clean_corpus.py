@@ -18,7 +18,8 @@ deterministic kept set, and no silent drops.
 Writes (when --out is given):
     <out>/kept/   — the surviving docs (all input columns)
     <out>/audit/  — one row per INPUT doc:
-                    (doc_id, lang_guess, quality, stage, cluster_id, keep)
+                    (doc_id, lang_guess, quality, dup_line_frac,
+                     stage, cluster_id, keep)
 Prints one JSON summary line with per-stage counts either way.
 """
 

@@ -249,7 +249,11 @@ def test_kind_of_key_never_empty(spark):
             # space, '%') — they must fall back to 'external', never
             # mint an escaped partition dir that breaks merge_upsert's
             # literal col=value cleanup arithmetic (round-4 review #1)
-            "ent:a:b/x", "ent:with space/x", "ent:pc%t/x"]
+            "ent:a:b/x", "ent:with space/x", "ent:pc%t/x",
+            # leading '_'/'.'/'-' pass the old charset but the sink
+            # guard (io._PART_VALUE_SAFE) rejects them — they must
+            # fall back, not crash the merge (round-4 review #2)
+            "ent:_private/svc", "ent:.hidden/x", "ent:-dash/x"]
     df = spark.createDataFrame([(k,) for k in keys], "k string")
     got = {r.k: r.kind for r in
            df.select("k", kind_of_key(F.col("k")).alias("kind")).collect()}
@@ -264,6 +268,9 @@ def test_kind_of_key_never_empty(spark):
     assert got["ent:a:b/x"] == "external"
     assert got["ent:with space/x"] == "external"
     assert got["ent:pc%t/x"] == "external"
+    assert got["ent:_private/svc"] == "external"
+    assert got["ent:.hidden/x"] == "external"
+    assert got["ent:-dash/x"] == "external"
     assert all(k is not None and k != "" for k in got.values())
 
 

@@ -684,4 +684,17 @@ def test_merge_rejects_hive_escaped_partition_values(spark, base):
         gio.merge_upsert(spark, ok_empty, table, keys=["k", "pred"],
                          partition_by=["pred", "bucket"],
                          delete_keys=bad.select("k", "pred", "bucket"))
+    # NULL and bool str()-launder into regex-safe forms ('None',
+    # 'True') but their on-disk dirs differ (__HIVE_DEFAULT_PARTITION__,
+    # 'true') — rejected by TYPE, not string form (round-4 review)
+    nullv = _bucketed(spark.createDataFrame(
+        [("k1", None, 1)], "k string, pred string, v int"))
+    with pytest.raises(ValueError, match="not filesystem-literal"):
+        gio.merge_upsert(spark, nullv, table, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"])
+    boolv = _bucketed(spark.createDataFrame(
+        [("k1", True, 1)], "k string, pred boolean, v int"))
+    with pytest.raises(ValueError, match="not filesystem-literal"):
+        gio.merge_upsert(spark, boolv, table, keys=["k", "pred"],
+                         partition_by=["pred", "bucket"])
     assert _snapshot(table) == before, "failed merge mutated the table"
