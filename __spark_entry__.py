@@ -140,6 +140,18 @@ def _q_pii_redact(spark, sf_dir):
     return pii_redact(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_url_domain_stats(spark, sf_dir):
+    """Registered-domain rollup over the synthetic Zipf-skewed webtext
+    corpus (the driver tables carry no URLs); exact DuckDB parity for
+    host/domain extraction and the rollup in tests/test_urlstats.py."""
+    from guackg.ops.urlstats import domain_page_stats
+    from guackg.testing.gen import spark_generate_pages
+    pages = spark_generate_pages(spark, 2000, partitions=8)
+    # host granularity: the corpus's Zipf skew lives at the
+    # siteNNNN.example.com subdomain level (one registered domain)
+    return domain_page_stats(pages, by="host").orderBy("domain")
+
+
 def _q_paragraph_dedup(spark, sf_dir):
     """CCNet-style duplicated-paragraph removal with in-order text
     reconstruction; exact DuckDB parity in tests/test_textclean.py."""
@@ -906,6 +918,7 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngram": _q_top_ngram,
         "pii_redact": _q_pii_redact,
         "dedup_paragraphs": _q_paragraph_dedup,
+        "url_domain_stats": _q_url_domain_stats,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }

@@ -1,0 +1,146 @@
+"""URL/domain operator tests: DuckDB parity for host extraction +
+registered-domain classification + the per-domain rollup, and goldens
+for the blocklist gate. Same in-suite oracle discipline as
+test_textclean.py (the registered battery is pinned at 50)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+URLS = [
+    (1, "https://www.Example.COM/path?q=1"),
+    (2, "http://user:pw@news.BBC.co.uk:8080/story#frag"),
+    (3, "https://example.com"),
+    (4, "ftp://a.b.c.d.com/file"),
+    (5, "notaurl"),
+    (6, "https://localhost/x"),
+    (7, "docs://123"),
+    (8, None),
+    (9, "https://sub.shop.com.au/cart"),
+    (10, "https://www.example.com/other"),
+    (11, "https://www.example.com/other"),   # exact dup url
+]
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame(URLS, "id long, url string")
+
+
+def _domain_sql(suffixes):
+    inlist = ", ".join(f"'{s}'" for s in suffixes)
+    return f"""
+WITH H AS (
+  SELECT id, url,
+    lower(regexp_extract(coalesce(url, ''),
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+  FROM docs),
+P AS (SELECT *, string_split(host, '.') AS parts FROM H)
+SELECT id, host,
+  CASE WHEN host = '' THEN NULL
+       WHEN len(parts) <= 2 THEN host
+       WHEN parts[-2] || '.' || parts[-1] IN ({inlist})
+            THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+       ELSE parts[-2] || '.' || parts[-1] END AS domain
+FROM P ORDER BY id
+"""
+
+
+def _norm(df):
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].where(pd.notnull(df[c]), None)
+    return df.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("src,key", [("urls_df", "id"),
+                                     ("pages_df", "url")])
+def test_host_and_domain_vs_duckdb(request, src, key):
+    from guackg.ops.urlstats import (SECOND_LEVEL_SUFFIXES, host_col,
+                                     registered_domain_col)
+    df = request.getfixturevalue(src)
+    if key == "url":  # pages table: key by the url itself
+        df = df.select(df.url.alias("id"), "url").dropDuplicates(["id"])
+    got = _norm(df.select("id", host_col().alias("host"),
+                          registered_domain_col().alias("domain"))
+                .toPandas().sort_values("id"))
+    con = duckdb.connect()
+    con.register("docs", df.select("id", "url").toPandas())
+    want = _norm(con.execute(_domain_sql(SECOND_LEVEL_SUFFIXES)).df()
+                 .sort_values("id"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_domain_goldens(urls_df):
+    from guackg.ops.urlstats import registered_domain_col
+    got = {r.id: r.domain for r in
+           urls_df.select("id", registered_domain_col().alias("domain"))
+           .collect()}
+    assert got[1] == "example.com"
+    assert got[2] == "bbc.co.uk"        # userinfo + port stripped
+    assert got[3] == "example.com"
+    assert got[4] == "d.com"
+    assert got[5] is None
+    assert got[6] == "localhost"
+    assert got[7] == "123"
+    assert got[8] is None
+    assert got[9] == "shop.com.au"      # second-level public suffix
+
+
+def test_domain_page_stats_vs_duckdb(urls_df):
+    from guackg.ops.urlstats import domain_page_stats
+    got = {(r.domain, r.n_pages, r.n_urls)
+           for r in domain_page_stats(urls_df).collect()}
+    con = duckdb.connect()
+    con.register("docs", urls_df.toPandas())
+    want = {(r[0], r[1], r[2]) for r in con.execute("""
+WITH H AS (
+  SELECT url,
+    lower(regexp_extract(coalesce(url, ''),
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+  FROM docs),
+P AS (SELECT *, string_split(host, '.') AS parts FROM H),
+D AS (SELECT url,
+  CASE WHEN host = '' THEN NULL
+       WHEN len(parts) <= 2 THEN host
+       WHEN parts[-2] || '.' || parts[-1] IN
+            ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+             'org.au','co.jp','co.kr','co.in','co.nz','co.za',
+             'com.br','com.cn','com.mx','com.sg','com.tr','com.ar')
+            THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+       ELSE parts[-2] || '.' || parts[-1] END AS domain
+  FROM P)
+SELECT domain, count(*) AS n_pages, count(DISTINCT url) AS n_urls
+FROM D GROUP BY domain
+""").fetchall()}
+    assert got == want
+    # example.com: ids 1, 3, 10, 11 -> 4 pages over 3 distinct urls
+    assert ("example.com", 4, 3) in got
+
+
+def test_domain_blocklist_filter(spark, urls_df):
+    from guackg.ops.urlstats import domain_blocklist_filter
+    blocked = spark.createDataFrame([("EXAMPLE.com",), ("bbc.co.uk",)],
+                                    "domain string")
+    kept = domain_blocklist_filter(urls_df, blocked)
+    assert kept.columns == urls_df.columns  # passthrough schema
+    ids = {r.id for r in kept.collect()}
+    # example.com (1, 3, 10, 11) and bbc.co.uk (2) are gone;
+    # blocklist matching is case-insensitive on both sides
+    assert ids == {4, 5, 6, 7, 8, 9}
+
+
+def test_domain_page_stats_host_granularity(spark, urls_df, pages_df):
+    from guackg.ops.urlstats import domain_page_stats
+    got = {r.domain: (r.n_pages, r.n_urls)
+           for r in domain_page_stats(urls_df, by="host").collect()}
+    # hosts keep subdomains apart: www.example.com != example.com
+    assert got["www.example.com"] == (3, 2)
+    assert got["example.com"] == (1, 1)
+    assert got["news.bbc.co.uk"] == (1, 1)
+    assert None in got          # non-URL rows grouped under NULL
+    with pytest.raises(ValueError, match="'domain' or 'host'"):
+        domain_page_stats(urls_df, by="path")
+    # the synthetic corpus is single-registered-domain but Zipf-skewed
+    # by host: the host rollup must spread, the domain rollup must not
+    hosts = domain_page_stats(pages_df, by="host")
+    assert hosts.count() > 10
