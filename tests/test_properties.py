@@ -149,3 +149,59 @@ def test_connected_components_match_union_find(spark, pairs):
             want[m] = canon
     assert got == want
     assert got_dist == want
+
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=40)
+_LABEL = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1, max_size=6)
+_URLISH = st.builds(
+    lambda scheme, user, labels, port, path: (
+        f"{scheme}://{user}{'.'.join(labels)}{port}{path}"),
+    st.sampled_from(["http", "https", "ftp", "x+z.a", "9bad"]),
+    st.sampled_from(["", "u@", "u:p@"]),
+    st.lists(_LABEL, min_size=1, max_size=5),
+    st.sampled_from(["", ":8080"]),
+    st.sampled_from(["", "/", "/p?q=1#f", "?x", "#y"]))
+
+
+def _py_host(url):
+    import re
+    if url is None:
+        return ""
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)",
+                 url)
+    return m.group(1).lower() if m else ""
+
+
+def _py_domain(url):
+    from guackg.ops.urlstats import SECOND_LEVEL_SUFFIXES
+    h = _py_host(url)
+    if h == "":
+        return None
+    parts = h.split(".")
+    if len(parts) <= 2:
+        return h
+    if ".".join(parts[-2:]) in SECOND_LEVEL_SUFFIXES:
+        return ".".join(parts[-3:])
+    return ".".join(parts[-2:])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.one_of(_ASCII, _URLISH), min_size=1, max_size=50))
+def test_url_host_domain_match_python(spark, urls):
+    """Spark host/registered-domain expressions == the driver-side
+    Python reference over generated URL-ish and junk strings (ASCII
+    only — unicode case-mapping differences between JVM and Python
+    are out of contract). One Spark round trip per batch."""
+    from guackg.ops.urlstats import host_col, registered_domain_col
+    rows = [(i, u) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: (r.h, r.d) for r in
+           df.select("id", host_col().alias("h"),
+                     registered_domain_col().alias("d")).collect()}
+    for i, u in rows:
+        assert got[i] == (_py_host(u), _py_domain(u)), (u, got[i])
