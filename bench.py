@@ -140,7 +140,9 @@ def main() -> None:
     headline = ["q1_pricing_summary", "q5_local_supplier_volume",
                 "window_top_customers_per_nation", "dedup_exact",
                 "dedup_minhash_lsh_pairs", "text_quality_score",
-                "ann_cosine_topk"]
+                "ann_cosine_topk",
+                # round-4 curation additions
+                "dedup_paragraphs", "pii_redact", "url_domain_stats"]
     if os.environ.get("GUACKG_BENCH_QUERIES", "1") == "0":
         headline = []
     # per-query min over ≥3 runs (round-3 verdict task #8: single-shot
