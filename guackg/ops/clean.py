@@ -44,7 +44,8 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                  langs: tuple[str, ...] = ("en",),
                  min_quality: float = 0.3,
                  near_threshold: float = 0.8,
-                 max_dup_line_frac: float | None = None) -> DataFrame:
+                 max_dup_line_frac: float | None = None,
+                 drop_dup_paragraphs: bool = False) -> DataFrame:
     """docs(doc_id, text, …) → one row per input doc:
     (doc_id, lang_guess, quality, dup_line_frac, stage, cluster_id,
     keep).
@@ -56,11 +57,23 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     that reached the last stage (its own doc_id for singletons; NULL
     for docs dropped earlier). `keep` is (stage == 'kept').
 
+    `drop_dup_paragraphs=True` runs dedup.paragraph_dedup FIRST (the
+    RefinedWeb order: boilerplate removal before the quality signals,
+    so navigation chrome repeated across a site neither inflates
+    dup_line_frac nor drags quality) — every gate then scores the
+    paragraph-deduped text, and downstream consumers should keep the
+    rewritten corpus (join `paragraph_dedup(docs)` on the kept ids).
+
     Determinism: every tie-break is the smallest doc_id (exact_dedup's
-    window order; near_dup_collapse's component min), so the kept set
-    is a pure function of the corpus. NULL text carries no signal and
-    exits at the language gate ('unknown' guess), consistent with the
-    NULL quarantines inside simhash/minhash."""
+    window order; near_dup_collapse's component min; paragraph_dedup's
+    min-(doc_id, pos) winner), so the kept set is a pure function of
+    the corpus. NULL text carries no signal and exits at the language
+    gate ('unknown' guess), consistent with the NULL quarantines
+    inside simhash/minhash."""
+    if drop_dup_paragraphs:
+        from guackg.ops.dedup import paragraph_dedup
+        docs = paragraph_dedup(docs, text_col) \
+            .select("doc_id", F.col("text_dedup").alias(text_col))
     # both gate signals are row-wise expressions — ONE narrow
     # projection, no doc_id self-joins (round-4 review: two corpus-wide
     # joins for per-row columns; the expressions come from textstats so

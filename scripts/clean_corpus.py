@@ -45,7 +45,16 @@ def run_clean(spark, args) -> dict:
     audit = clean_corpus(docs, text_col=args.text_col, langs=langs,
                          min_quality=args.min_quality,
                          near_threshold=args.near_threshold,
-                         max_dup_line_frac=args.max_dup_line_frac)
+                         max_dup_line_frac=args.max_dup_line_frac,
+                         drop_dup_paragraphs=args.drop_dup_paragraphs)
+    if args.drop_dup_paragraphs:
+        # the gates scored the paragraph-deduped text — ship THAT
+        # corpus, not the original (boilerplate would silently return)
+        from guackg.ops.dedup import paragraph_dedup
+        rewritten = paragraph_dedup(docs, args.text_col) \
+            .withColumnRenamed("text_dedup", args.text_col)
+        docs = docs.drop(args.text_col).join(
+            rewritten.select("doc_id", args.text_col), on="doc_id")
     if args.out:
         # audit is consumed twice (kept join + stats); one write
         # materializes it so the LSH stage runs once
@@ -79,6 +88,10 @@ def main() -> None:
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="enable the Gopher duplicate-line repetition "
                          "gate at this threshold (off by default)")
+    ap.add_argument("--drop-dup-paragraphs", action="store_true",
+                    help="remove corpus-wide duplicated paragraphs "
+                         "BEFORE the gates (RefinedWeb order); kept/ "
+                         "then ships the rewritten text")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 

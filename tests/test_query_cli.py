@@ -146,7 +146,7 @@ def test_clean_corpus_cli(spark, tmp_path):
     args = _ap.Namespace(input=inp, out=out, text_col="text",
                          langs="en", min_quality=0.3,
                          near_threshold=0.5, max_dup_line_frac=None,
-                         master=None)
+                         drop_dup_paragraphs=False, master=None)
     summary = C.run_clean(spark, args)
     assert summary["docs_in"] == 5 and summary["kept"] == 1
     assert sum(summary["dropped_per_stage"].values()) == 4

@@ -272,3 +272,41 @@ def test_paragraph_dedup_golden(spark):
     assert got[2] == ("Unique content two", 2, 1)
     assert got[3] == (None, 0, 0)
     assert got[4] == ("", 1, 1)
+
+
+def test_clean_corpus_paragraph_composition(spark):
+    """drop_dup_paragraphs=True must equal running clean_corpus over
+    the explicitly paragraph-deduped corpus (the composition law), and
+    the rewrite changes gate outcomes the way RefinedWeb ordering
+    predicts: a doc that is boilerplate + thin content dies at the
+    quality gate once the shared boilerplate is stripped."""
+    from guackg.ops.clean import clean_corpus
+    from guackg.ops.dedup import paragraph_dedup
+    from pyspark.sql import functions as F
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a friend to rest for a while longer")
+    boiler = "home about contact the site for all of the best things"
+    docs = spark.createDataFrame(
+        [(1, f"{boiler}\n{good}"),
+         (2, f"{boiler}\nthe end"),     # boilerplate + thin content
+         # ('the end' keeps the lang gate green — stopword present —
+         #  but alone is under the 50-char quality floor)
+         (3, None)],
+        "doc_id long, text string")
+
+    composed = {tuple(r) for r in
+                clean_corpus(docs, drop_dup_paragraphs=True).collect()}
+    rewritten = paragraph_dedup(docs).select(
+        "doc_id", F.col("text_dedup").alias("text"))
+    manual = {tuple(r) for r in clean_corpus(rewritten).collect()}
+    assert composed == manual
+
+    by_id = {r[0]: r for r in composed}
+    # doc 1 keeps the boilerplate (first occurrence) and survives
+    assert by_id[1][4] == "kept"
+    # doc 2 loses the boilerplate; 'ok then' alone fails the quality
+    # length floor -> dropped at 'quality' (without the rewrite it
+    # would have passed: boiler+content is > 50 chars and stopworded)
+    assert by_id[2][4] == "quality"
+    plain = {r.doc_id: r.stage for r in clean_corpus(docs).collect()}
+    assert plain[2] == "kept"
