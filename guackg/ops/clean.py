@@ -90,8 +90,10 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     # the audit plan consumes `base` through three join branches and
     # the near-dup stage drives eager CC jobs over `survivors` — cache
     # both so the corpus is scanned and gated once, not once per
-    # branch (review finding, round 4). Caches are left for the
-    # caller's action; spark.catalog.clearCache() reclaims them.
+    # branch (round-4 review). Both caches are released before return:
+    # the audit is checkpointed eagerly below, so nothing downstream
+    # re-reads them (leaving them persisted leaked executor storage
+    # across repeated calls — the follow-up review finding).
     base = base.withColumn("_gate", gate).persist()
 
     gated = base.filter(F.col("_gate").isNull()) \
@@ -119,7 +121,20 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                    .when(~F.col("_nd_keep"), F.lit("near_dup"))
                    .otherwise(F.lit("kept"))).alias("stage"),
                "cluster_id"))
-    return out.withColumn("keep", F.col("stage") == "kept")
+    out = out.withColumn("keep", F.col("stage") == "kept")
+    # materialize the audit (one compact row per input doc) and cut
+    # its lineage; localCheckpoint blocks are ContextCleaner-managed
+    # (freed when the frame is garbage-collected), unlike persist()
+    # entries which live in the CacheManager until unpersisted — so
+    # the function owns its caches' whole lifecycle. The op was
+    # already eager (near_dup_collapse runs CC jobs), so this changes
+    # cost, not semantics; downstream consumers (stats rollup, kept
+    # join, multiple actions) reuse the checkpoint instead of
+    # replaying the LSH stage.
+    out = out.localCheckpoint(eager=True)
+    survivors.unpersist()
+    base.unpersist()
+    return out
 
 
 def clean_corpus_stats(cleaned: DataFrame) -> DataFrame:

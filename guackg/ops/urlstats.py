@@ -1,23 +1,22 @@
 """URL/domain operators over the webtext pages table — host
-extraction, registered-domain rollups, and domain blocklist filtering:
-the per-source curation layer of a Common-Crawl-style pipeline (the
-analog of the reference's per-collector source provenance,
-/root/reference/pkg/handler/processor/processor.go:97-103, where every
-document carries its Collector/Source and downstream policy keys off
-it).
+extraction, registered-domain rollups, and host/domain blocklist
+filtering: the per-source curation layer of a Common-Crawl-style
+pipeline (the analog of the reference's per-collector source
+provenance, /root/reference/pkg/handler/processor/processor.go:97-103,
+where every document carries its Collector/Source and downstream
+policy keys off it).
 
 All JVM-side built-ins (regexp_extract / split / element_at /
 broadcast anti-join) — no Python, narrow except the rollup's single
 combinable aggregation. Patterns are RE2-compatible; exact DuckDB
-parity in tests/test_textclean.py.
+parity in tests/test_urlstats.py, Python-reference property sweep in
+tests/test_properties.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from guackg.ops.skew import salted_distinct_count
 
 # common two-label public suffixes (a deliberately small, inline,
 # deterministic subset of the public-suffix list — enough for the
@@ -31,24 +30,34 @@ SECOND_LEVEL_SUFFIXES = (
 )
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+_IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+
+def _canon_host(col: F.Column) -> F.Column:
+    """Canonical host form: lowercased, trailing dots stripped (the
+    FQDN-root form 'example.com.' resolves identically to
+    'example.com' — without the strip it would split to a trailing
+    empty label and classify as domain 'com.')."""
+    return F.regexp_replace(F.lower(col), r"\.+$", "")
 
 
 def host_col(url_col: str = "url") -> F.Column:
-    """Lowercased host of an absolute URL (scheme://[userinfo@]host
-    [:port]/...); '' when the string is not an absolute URL or is
-    NULL (null-safe so the domain CASE never sees a NULL size under
-    ANSI mode)."""
-    return F.lower(F.regexp_extract(
+    """Canonical host of an absolute URL (scheme://[userinfo@]host
+    [:port]/...): lowercased, trailing dots stripped; '' when the
+    string is not an absolute URL or is NULL (null-safe so the domain
+    CASE never sees a NULL size under ANSI mode)."""
+    return _canon_host(F.regexp_extract(
         F.coalesce(F.col(url_col), F.lit("")), _HOST_RE, 1))
 
 
-def registered_domain_col(url_col: str = "url") -> F.Column:
-    """Registered domain (site identity) of a URL: the last two host
-    labels, or three when the last two are a known second-level public
-    suffix (co.uk etc.); the bare host when it has ≤ 2 labels; NULL
-    for non-URL strings. CASE branches evaluate lazily, so the
-    negative element_at never fires out-of-range under ANSI mode."""
-    h = host_col(url_col)
+def _domain_of_host(h: F.Column) -> F.Column:
+    """Registered domain of a canonical HOST string: the host itself
+    for IPv4 literals and ≤ 2-label hosts, the last three labels when
+    the last two are a known second-level public suffix (co.uk etc.),
+    else the last two; NULL for ''. CASE branches evaluate lazily, so
+    the negative element_at never fires out-of-range under ANSI
+    mode. Shared by the URL path and the blocklist normalizer so both
+    sides of the gate agree on identity."""
     parts = F.split(h, r"\.")
     np = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2),
@@ -56,9 +65,16 @@ def registered_domain_col(url_col: str = "url") -> F.Column:
     last3 = F.concat_ws(".", F.element_at(parts, -3),
                         F.element_at(parts, -2), F.element_at(parts, -1))
     return (F.when(h == "", F.lit(None).cast("string"))
+            .when(h.rlike(_IPV4_RE), h)
             .when(np <= 2, h)
             .when(last2.isin(*SECOND_LEVEL_SUFFIXES), last3)
             .otherwise(last2))
+
+
+def registered_domain_col(url_col: str = "url") -> F.Column:
+    """Registered domain (site identity) of a URL column: see
+    `_domain_of_host`; NULL for non-URL strings."""
+    return _domain_of_host(host_col(url_col))
 
 
 def domain_page_stats(pages: DataFrame, url_col: str = "url",
@@ -68,40 +84,46 @@ def domain_page_stats(pages: DataFrame, url_col: str = "url",
     host (`by="host"`, the subdomain granularity — what the synthetic
     corpus's Zipf skew lives at).
 
-    Scale shape: n_pages is a combinable count (map-side partials, so
-    a mega-domain costs one row per map partition); n_urls is an EXACT
-    distinct count through ops/skew.salted_distinct_count — the
-    url-derived salt splits a hot domain's distinct space across
-    reducers, the per-bucket counts add up exactly (the Zipf-skewed
-    domain distribution is the head-entity case of SURVEY §4.1)."""
+    ONE corpus scan, no join: the first aggregation groups by
+    (domain, url-derived salt) computing the partial count and the
+    bucket-local exact distinct, the second sums both per domain.
+    Exactness: the salt is a pure function of the url, so each
+    distinct url lands in exactly one bucket and bucket distincts add
+    up (the ops/skew.salted_distinct_count argument); count(*) is
+    trivially additive. Skew: a Zipf head domain spreads over all
+    salt buckets in phase 1 (map-side combinable), and phase 2 sees
+    ≤ n_buckets rows per domain (SURVEY §4.1)."""
     if by not in ("domain", "host"):
         raise ValueError(f"by must be 'domain' or 'host', got {by!r}")
     key = (registered_domain_col(url_col) if by == "domain"
            else F.nullif(host_col(url_col), F.lit("")))
     d = pages.select(key.alias("domain"), F.col(url_col).alias("_u"))
-    counts = d.groupBy("domain").agg(F.count("*").alias("n_pages"))
-    distincts = (salted_distinct_count(d, ["domain"], "_u")
-                 .withColumnRenamed("n_distinct", "n_urls")
-                 .withColumnRenamed("domain", "_dom2"))
-    # null-safe join: the NULL-domain group (non-URL rows) must still
-    # pick up its distinct count — a plain equi-join drops it
-    return (counts.join(distincts,
-                        counts["domain"].eqNullSafe(distincts["_dom2"]),
-                        "left")
-            .select("domain", "n_pages",
-                    F.coalesce("n_urls", F.lit(0)).alias("n_urls")))
+    salt = F.pmod(F.xxhash64(F.col("_u")), F.lit(16))
+    per_bucket = (d.groupBy("domain", salt.alias("_salt"))
+                  .agg(F.count("*").alias("_n"),
+                       F.count_distinct("_u").alias("_d")))
+    return (per_bucket.groupBy("domain")
+            .agg(F.sum("_n").alias("n_pages"),
+                 F.sum("_d").alias("n_urls")))
 
 
 def domain_blocklist_filter(pages: DataFrame, blocked: DataFrame,
                             url_col: str = "url") -> DataFrame:
-    """Drop pages whose registered domain is in `blocked(domain)` —
-    the C4-style badlist gate. Broadcast left-anti join (blocklists
-    are O(10^5) rows — always the small side); all input columns pass
-    through unchanged."""
+    """Drop pages matching `blocked(domain)` — the C4-style badlist
+    gate. Entries are matched at BOTH granularities so host-level
+    lines in real badlists ('ads.tracker.co.uk') do something instead
+    of silently no-oping: a page is dropped when its canonical HOST
+    equals a blocked entry (exact-host block) OR its REGISTERED DOMAIN
+    equals a blocked entry (whole-site block). Two chained broadcast
+    left-anti hash joins (an OR-condition single join would degrade to
+    a nested-loop); blocklists are O(10^5) rows — always the small
+    side. All input columns pass through unchanged."""
     b = F.broadcast(
-        blocked.select(F.lower(F.col("domain")).alias("_bdom"))
+        blocked.select(_canon_host(F.col("domain")).alias("_b"))
         .dropDuplicates())
-    return (pages
-            .withColumn("_dom", registered_domain_col(url_col))
-            .join(b, F.col("_dom") == F.col("_bdom"), "left_anti")
-            .drop("_dom"))
+    out = (pages
+           .withColumn("_host", F.nullif(host_col(url_col), F.lit("")))
+           .withColumn("_dom", registered_domain_col(url_col))
+           .join(b, F.col("_host") == F.col("_b"), "left_anti")
+           .join(b, F.col("_dom") == F.col("_b"), "left_anti"))
+    return out.drop("_host", "_dom")

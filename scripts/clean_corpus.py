@@ -42,25 +42,27 @@ def run_clean(spark, args) -> dict:
     drive it in-process."""
     docs = spark.read.parquet(args.input)
     langs = tuple(s.strip() for s in args.langs.split(",") if s.strip())
-    audit = clean_corpus(docs, text_col=args.text_col, langs=langs,
-                         min_quality=args.min_quality,
-                         near_threshold=args.near_threshold,
-                         max_dup_line_frac=args.max_dup_line_frac,
-                         drop_dup_paragraphs=args.drop_dup_paragraphs)
     if args.drop_dup_paragraphs:
-        # the gates scored the paragraph-deduped text — ship THAT
-        # corpus, not the original (boilerplate would silently return)
+        # dedup ONCE up front and clean the rewritten corpus — the
+        # composition-law test pins this equal to clean_corpus's own
+        # drop_dup_paragraphs=True path, and kept/ then ships the text
+        # the gates actually scored (running the corpus-wide dedup
+        # twice was a round-4 review finding)
         from guackg.ops.dedup import paragraph_dedup
         rewritten = paragraph_dedup(docs, args.text_col) \
             .withColumnRenamed("text_dedup", args.text_col)
         docs = docs.drop(args.text_col).join(
             rewritten.select("doc_id", args.text_col), on="doc_id")
+    audit = clean_corpus(docs, text_col=args.text_col, langs=langs,
+                         min_quality=args.min_quality,
+                         near_threshold=args.near_threshold,
+                         max_dup_line_frac=args.max_dup_line_frac)
     if args.out:
-        # audit is consumed twice (kept join + stats); one write
-        # materializes it so the LSH stage runs once
+        # audit comes back checkpointed (clean_corpus materializes
+        # it), so the write, the kept join, and the stats rollup all
+        # reuse one computation — no re-read workaround needed
         audit.write.mode("overwrite") \
             .parquet(os.path.join(args.out, "audit"))
-        audit = spark.read.parquet(os.path.join(args.out, "audit"))
         kept = docs.join(audit.filter("keep").select("doc_id"),
                          on="doc_id")
         kept.write.mode("overwrite") \

@@ -158,11 +158,15 @@ _LABEL = st.text(
     alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
     min_size=1, max_size=6)
 _URLISH = st.builds(
-    lambda scheme, user, labels, port, path: (
-        f"{scheme}://{user}{'.'.join(labels)}{port}{path}"),
+    lambda scheme, user, labels, fqdn_dot, port, path: (
+        f"{scheme}://{user}{'.'.join(labels)}{fqdn_dot}{port}{path}"),
     st.sampled_from(["http", "https", "ftp", "x+z.a", "9bad"]),
     st.sampled_from(["", "u@", "u:p@"]),
-    st.lists(_LABEL, min_size=1, max_size=5),
+    st.one_of(st.lists(_LABEL, min_size=1, max_size=5),
+              # IPv4-ish hosts (incl. out-of-range octet counts)
+              st.lists(st.integers(0, 300).map(str),
+                       min_size=3, max_size=5)),
+    st.sampled_from(["", ".", ".."]),   # trailing-dot FQDN forms
     st.sampled_from(["", ":8080"]),
     st.sampled_from(["", "/", "/p?q=1#f", "?x", "#y"]))
 
@@ -173,14 +177,18 @@ def _py_host(url):
         return ""
     m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)",
                  url)
-    return m.group(1).lower() if m else ""
+    return re.sub(r"\.+$", "", m.group(1).lower()) if m else ""
 
 
 def _py_domain(url):
+    import re
+
     from guackg.ops.urlstats import SECOND_LEVEL_SUFFIXES
     h = _py_host(url)
     if h == "":
         return None
+    if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", h):
+        return h
     parts = h.split(".")
     if len(parts) <= 2:
         return h

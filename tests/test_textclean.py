@@ -304,7 +304,7 @@ def test_clean_corpus_paragraph_composition(spark):
     by_id = {r[0]: r for r in composed}
     # doc 1 keeps the boilerplate (first occurrence) and survives
     assert by_id[1][4] == "kept"
-    # doc 2 loses the boilerplate; 'ok then' alone fails the quality
+    # doc 2 loses the boilerplate; 'the end' alone fails the quality
     # length floor -> dropped at 'quality' (without the rewrite it
     # would have passed: boiler+content is > 50 chars and stopworded)
     assert by_id[2][4] == "quality"

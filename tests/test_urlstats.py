@@ -19,30 +19,40 @@ URLS = [
     (9, "https://sub.shop.com.au/cart"),
     (10, "https://www.example.com/other"),
     (11, "https://www.example.com/other"),   # exact dup url
+    (12, "https://example.com./rootfqdn"),   # trailing-dot FQDN form
+    (13, "http://192.168.0.1/admin"),        # IPv4 literal host
+    (14, "http://ads.tracker.co.uk/px"),     # host-level block target
+    (15, "http://safe.tracker.co.uk/ok"),    # same domain, other host
 ]
 
-@pytest.fixture(scope="module")
-def urls_df(spark):
-    return spark.createDataFrame(URLS, "id long, url string")
-
-
-def _domain_sql(suffixes):
-    inlist = ", ".join(f"'{s}'" for s in suffixes)
-    return f"""
+# the canonicalization + classification, as one DuckDB expression pair
+HOST_DOMAIN_SQL = """
 WITH H AS (
-  SELECT id, url,
-    lower(regexp_extract(coalesce(url, ''),
-      '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+  SELECT {key} AS id,
+    regexp_replace(
+      lower(regexp_extract(coalesce(url, ''),
+        '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)),
+      '\\.+$', '') AS host
   FROM docs),
 P AS (SELECT *, string_split(host, '.') AS parts FROM H)
 SELECT id, host,
   CASE WHEN host = '' THEN NULL
+       WHEN regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+            THEN host
        WHEN len(parts) <= 2 THEN host
-       WHEN parts[-2] || '.' || parts[-1] IN ({inlist})
+       WHEN parts[-2] || '.' || parts[-1] IN
+            ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+             'org.au','co.jp','co.kr','co.in','co.nz','co.za',
+             'com.br','com.cn','com.mx','com.sg','com.tr','com.ar')
             THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
        ELSE parts[-2] || '.' || parts[-1] END AS domain
-FROM P ORDER BY id
+FROM P
 """
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame(URLS, "id long, url string")
 
 
 def _norm(df):
@@ -55,8 +65,7 @@ def _norm(df):
 @pytest.mark.parametrize("src,key", [("urls_df", "id"),
                                      ("pages_df", "url")])
 def test_host_and_domain_vs_duckdb(request, src, key):
-    from guackg.ops.urlstats import (SECOND_LEVEL_SUFFIXES, host_col,
-                                     registered_domain_col)
+    from guackg.ops.urlstats import host_col, registered_domain_col
     df = request.getfixturevalue(src)
     if key == "url":  # pages table: key by the url itself
         df = df.select(df.url.alias("id"), "url").dropDuplicates(["id"])
@@ -65,8 +74,8 @@ def test_host_and_domain_vs_duckdb(request, src, key):
                 .toPandas().sort_values("id"))
     con = duckdb.connect()
     con.register("docs", df.select("id", "url").toPandas())
-    want = _norm(con.execute(_domain_sql(SECOND_LEVEL_SUFFIXES)).df()
-                 .sort_values("id"))
+    want = _norm(con.execute(HOST_DOMAIN_SQL.format(key="id")
+                             + " ORDER BY id").df().sort_values("id"))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
@@ -84,6 +93,9 @@ def test_domain_goldens(urls_df):
     assert got[7] == "123"
     assert got[8] is None
     assert got[9] == "shop.com.au"      # second-level public suffix
+    assert got[12] == "example.com"     # trailing dot canonicalized
+    assert got[13] == "192.168.0.1"     # IPv4 host stays whole
+    assert got[14] == "tracker.co.uk"
 
 
 def test_domain_page_stats_vs_duckdb(urls_df):
@@ -92,55 +104,47 @@ def test_domain_page_stats_vs_duckdb(urls_df):
            for r in domain_page_stats(urls_df).collect()}
     con = duckdb.connect()
     con.register("docs", urls_df.toPandas())
-    want = {(r[0], r[1], r[2]) for r in con.execute("""
-WITH H AS (
-  SELECT url,
-    lower(regexp_extract(coalesce(url, ''),
-      '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
-  FROM docs),
-P AS (SELECT *, string_split(host, '.') AS parts FROM H),
-D AS (SELECT url,
-  CASE WHEN host = '' THEN NULL
-       WHEN len(parts) <= 2 THEN host
-       WHEN parts[-2] || '.' || parts[-1] IN
-            ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-             'org.au','co.jp','co.kr','co.in','co.nz','co.za',
-             'com.br','com.cn','com.mx','com.sg','com.tr','com.ar')
-            THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
-       ELSE parts[-2] || '.' || parts[-1] END AS domain
-  FROM P)
-SELECT domain, count(*) AS n_pages, count(DISTINCT url) AS n_urls
+    want = {(r[0], r[1], r[2]) for r in con.execute(
+        "WITH D AS (" + HOST_DOMAIN_SQL.format(key="url") + """)
+SELECT domain, count(*) AS n_pages, count(DISTINCT id) AS n_urls
 FROM D GROUP BY domain
 """).fetchall()}
     assert got == want
-    # example.com: ids 1, 3, 10, 11 -> 4 pages over 3 distinct urls
-    assert ("example.com", 4, 3) in got
+    # example.com: ids 1, 3, 10, 11, 12 -> 5 pages over 4 distinct urls
+    assert ("example.com", 5, 4) in got
 
 
 def test_domain_blocklist_filter(spark, urls_df):
     from guackg.ops.urlstats import domain_blocklist_filter
-    blocked = spark.createDataFrame([("EXAMPLE.com",), ("bbc.co.uk",)],
-                                    "domain string")
+    blocked = spark.createDataFrame(
+        [("EXAMPLE.com",),           # whole-site (domain-level) block
+         ("bbc.co.uk",),
+         ("ads.tracker.co.uk",)],    # host-level block
+        "domain string")
     kept = domain_blocklist_filter(urls_df, blocked)
     assert kept.columns == urls_df.columns  # passthrough schema
     ids = {r.id for r in kept.collect()}
-    # example.com (1, 3, 10, 11) and bbc.co.uk (2) are gone;
-    # blocklist matching is case-insensitive on both sides
-    assert ids == {4, 5, 6, 7, 8, 9}
+    # example.com pages (1, 3, 10, 11, 12 — incl. the trailing-dot
+    # form) and bbc.co.uk (2) gone via the domain tier; the host-level
+    # entry drops ONLY ads.tracker.co.uk (14), not its sibling host
+    # safe.tracker.co.uk (15); matching is case-insensitive
+    assert ids == {4, 5, 6, 7, 8, 9, 13, 15}
 
 
 def test_domain_page_stats_host_granularity(spark, urls_df, pages_df):
     from guackg.ops.urlstats import domain_page_stats
     got = {r.domain: (r.n_pages, r.n_urls)
            for r in domain_page_stats(urls_df, by="host").collect()}
-    # hosts keep subdomains apart: www.example.com != example.com
+    # hosts keep subdomains apart: www.example.com != example.com;
+    # the trailing-dot form canonicalizes into the bare host group
     assert got["www.example.com"] == (3, 2)
-    assert got["example.com"] == (1, 1)
+    assert got["example.com"] == (2, 2)
     assert got["news.bbc.co.uk"] == (1, 1)
+    assert got["192.168.0.1"] == (1, 1)
     assert None in got          # non-URL rows grouped under NULL
     with pytest.raises(ValueError, match="'domain' or 'host'"):
         domain_page_stats(urls_df, by="path")
     # the synthetic corpus is single-registered-domain but Zipf-skewed
-    # by host: the host rollup must spread, the domain rollup must not
+    # by host: the host rollup must spread
     hosts = domain_page_stats(pages_df, by="host")
     assert hosts.count() > 10
