@@ -159,6 +159,14 @@ def _q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic md5-threshold corpus sampling at rate 0.25;
+    exact DuckDB row-set parity in tests/test_textclean.py."""
+    from guackg.ops.dedup import hash_sample
+    return hash_sample(_docs(spark, sf_dir), 0.25) \
+        .select("doc_id").orderBy("doc_id")
+
+
 def _q_clean_stages(spark, sf_dir):
     """Composed C4-style corpus cleaning (lang gate → quality gate →
     exact dedup → MinHash near-dup collapse) as per-stage attrition
@@ -919,6 +927,7 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "dedup_paragraphs": _q_paragraph_dedup,
         "url_domain_stats": _q_url_domain_stats,
+        "corpus_hash_sample": _q_hash_sample,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }

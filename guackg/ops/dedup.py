@@ -521,3 +521,27 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
                 F.coalesce("n_pars", F.lit(0)).alias("n_pars"),
                 (F.coalesce("n_pars", F.lit(0))
                  - F.coalesce("n_kept", F.lit(0))).alias("n_dropped")))
+
+
+def hash_sample(docs: DataFrame, rate: float,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus sampling: keep the rows whose md5(key)
+    falls below the rate-scaled threshold in the 128-bit hash space —
+    the reproducible subset selection a training pipeline uses for
+    eval splits and ablations (same key set in ⇒ same sample out, on
+    any engine: the md5-hex string compare is binary-lexicographic in
+    Spark and DuckDB alike — exact parity in tests/test_textclean.py).
+
+    A pure narrow filter (no shuffle, no RNG state); sampled fraction
+    converges to `rate` by md5 uniformity. rate ≤ 0 keeps nothing,
+    rate ≥ 1 everything; NULL keys are never sampled (md5(NULL) is
+    NULL — quarantine convention)."""
+    if rate <= 0:
+        return docs.filter(F.lit(False))
+    if rate >= 1:
+        return docs
+    # 32-hex-digit threshold = floor(rate · 16^32), zero-padded so the
+    # string compare equals the numeric compare
+    threshold = format(int(rate * (1 << 128)), "032x")
+    return docs.filter(
+        F.md5(F.col(key_col).cast("string")) < F.lit(threshold))

@@ -310,3 +310,34 @@ def test_clean_corpus_paragraph_composition(spark):
     assert by_id[2][4] == "quality"
     plain = {r.doc_id: r.stage for r in clean_corpus(docs).collect()}
     assert plain[2] == "kept"
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.25, 0.5, 1.0])
+def test_hash_sample_vs_duckdb(sf_docs, rate):
+    """Deterministic md5-threshold sampling: exact row-set parity with
+    the same predicate in DuckDB, repeatable run-to-run, and rate
+    roughly honored by hash uniformity."""
+    from guackg.ops.dedup import hash_sample
+    got = {r.doc_id for r in
+           hash_sample(sf_docs, rate).select("doc_id").collect()}
+    con = _duck(sf_docs.select("doc_id").toPandas())
+    threshold = format(int(rate * (1 << 128)), "032x") if 0 < rate < 1 \
+        else None
+    if rate <= 0:
+        want = set()
+    elif rate >= 1:
+        want = {r[0] for r in
+                con.execute("SELECT doc_id FROM docs").fetchall()}
+    else:
+        want = {r[0] for r in con.execute(
+            "SELECT doc_id FROM docs "
+            "WHERE md5(CAST(doc_id AS VARCHAR)) < ?",
+            [threshold]).fetchall()}
+    assert got == want
+    if 0 < rate < 1:
+        n = sf_docs.count()
+        assert abs(len(got) / n - rate) < 0.12   # uniformity, 500 docs
+    # repeatable
+    again = {r.doc_id for r in
+             hash_sample(sf_docs, rate).select("doc_id").collect()}
+    assert got == again
