@@ -167,6 +167,18 @@ def _q_hash_sample(spark, sf_dir):
         .select("doc_id").orderBy("doc_id")
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination stats (word-5-gram overlap) of the
+    doc_id%10<>0 corpus slice vs the doc_id%10==0 'eval set' slice —
+    the GPT-3-style decontamination op, broadcast-join shaped; exact
+    DuckDB parity in tests/test_contamination.py."""
+    from guackg.ops.contamination import contamination_overlap
+    d = _docs(spark, sf_dir)
+    return contamination_overlap(d.filter("doc_id % 10 <> 0"),
+                                 d.filter("doc_id % 10 = 0"),
+                                 n=5).orderBy("doc_id")
+
+
 def _q_clean_stages(spark, sf_dir):
     """Composed C4-style corpus cleaning (lang gate → quality gate →
     exact dedup → MinHash near-dup collapse) as per-stage attrition
@@ -928,6 +940,7 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_paragraph_dedup,
         "url_domain_stats": _q_url_domain_stats,
         "corpus_hash_sample": _q_hash_sample,
+        "corpus_contamination": _q_contamination,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }

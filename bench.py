@@ -142,7 +142,8 @@ def main() -> None:
                 "dedup_minhash_lsh_pairs", "text_quality_score",
                 "ann_cosine_topk",
                 # round-4 curation additions
-                "dedup_paragraphs", "pii_redact", "url_domain_stats"]
+                "dedup_paragraphs", "pii_redact", "url_domain_stats",
+                "corpus_contamination"]
     if os.environ.get("GUACKG_BENCH_QUERIES", "1") == "0":
         headline = []
     # per-query min over ≥3 runs (round-3 verdict task #8: single-shot

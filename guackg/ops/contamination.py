@@ -1,0 +1,111 @@
+"""Benchmark-contamination detection: word-n-gram overlap between a
+corpus and a (small) benchmark/eval set, and the decontamination gate
+built on it — the standard LLM-training-data hygiene op (13-gram
+overlap decontamination as published in GPT-3 appendix C and the
+Llama/PaLM data cards; public method).
+
+KG-reference analog: guac's visited-set dedup consults a small known
+set before admitting a document (/root/reference/pkg/ingestor/parser/
+parser.go:160-188); here the "known set" is the benchmark's n-gram
+inventory and the consult is a broadcast join.
+
+Scale shape: the benchmark side is an eval set — thousands of docs,
+~10^6-10^7 distinct grams — so its distinct-gram inventory broadcasts
+and the corpus side streams through a broadcast hash join keyed by
+doc_id afterwards; nothing shuffles on corpus size except the final
+per-doc count aggregation, which is map-side combinable. All built-in
+expressions, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N = 13  # the published decontamination gram length
+
+
+def _words(text_col: str) -> F.Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
+        lambda x: x != F.lit(""))
+
+
+def _distinct_grams(text_col: str, n: int) -> F.Column:
+    """Distinct word n-grams of a document as an array<string>.
+    Docs with < n words yield an empty array (sequence(1, k) would
+    DESCEND for k < 1 — same gate as textstats.top_ngram_stats)."""
+    return F.when(
+        F.size("_w") >= n,
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, size(_w) - {n} + 1), "
+            f"i -> array_join(slice(_w, i, {n}), ' '))")))\
+        .otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def ngram_inventory(docs: DataFrame, n: int = DEFAULT_N,
+                    text_col: str = "text") -> DataFrame:
+    """Global distinct word-n-gram inventory of a corpus: one `gram`
+    column, one row per distinct gram. For a benchmark set this is the
+    broadcast side of contamination_overlap."""
+    return (docs
+            .select(_words(text_col).alias("_w"))
+            .select(F.explode(_distinct_grams(text_col, n)).alias("gram"))
+            .distinct())
+
+
+def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+                          n: int = DEFAULT_N, text_col: str = "text",
+                          broadcast_benchmark: bool = True) -> DataFrame:
+    """Per-corpus-document overlap with the benchmark's n-gram set:
+    (doc_id, n_grams, matched_grams, contamination_frac), one row per
+    corpus doc. `n_grams` counts the doc's DISTINCT grams (the frac
+    denominator); `matched_grams` counts how many of those appear
+    anywhere in the benchmark; docs with < n words report (0, 0, 0.0).
+
+    broadcast_benchmark=True (default) hints the benchmark inventory
+    for a broadcast hash join — correct whenever the benchmark is an
+    eval set (≤ ~10^7 grams). Set False to let AQE pick (shuffle join)
+    when decontaminating against a benchmark-sized-like-a-corpus.
+    Exact DuckDB-parity oracle in tests/test_contamination.py."""
+    inv = ngram_inventory(benchmark, n, text_col)
+    if broadcast_benchmark:
+        inv = F.broadcast(inv)
+    base = (corpus
+            .select("doc_id", _words(text_col).alias("_w"))
+            .select("doc_id", _distinct_grams(text_col, n).alias("_g")))
+    per_doc = (base
+               .select("doc_id", F.explode("_g").alias("gram"))
+               .join(inv.withColumn("_hit", F.lit(1)), on="gram",
+                     how="left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.count("_hit").alias("matched_grams")))
+    # left join restores the zero-gram docs the explode dropped
+    return (base.select("doc_id")
+            .join(per_doc, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("matched_grams", F.lit(0))
+                .alias("matched_grams"),
+                F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                       F.round(F.coalesce("matched_grams", F.lit(0))
+                               / F.col("n_grams"), 6))
+                .otherwise(F.lit(0.0)).alias("contamination_frac")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  n: int = DEFAULT_N, max_frac: float = 0.0,
+                  text_col: str = "text",
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Corpus rows whose contamination_frac ≤ max_frac (default:
+    drop any doc sharing even one n-gram with the benchmark — the
+    published strict rule). Returns the corpus columns plus the
+    overlap stats so the gate is auditable; compose with
+    clean.clean_corpus by filtering before the cleaning stages."""
+    stats = contamination_overlap(corpus, benchmark, n, text_col,
+                                  broadcast_benchmark)
+    return (corpus.join(stats, on="doc_id", how="inner")
+            .filter(F.col("contamination_frac") <= F.lit(max_frac)))
