@@ -858,6 +858,24 @@ def _q_graph_toposort(spark, sf_dir):
         .orderBy("level", "key")
 
 
+def _q_graph_degree_stats(spark, sf_dir):
+    """Per-node degree rollup over the trade graph (SURVEY §2.9
+    analytics); exact DuckDB parity in tests/test_graph_analytics.py."""
+    from guackg.graph import degree_stats
+    return degree_stats(_bipartite_edges(spark, sf_dir)).orderBy("key")
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    """PageRank (5 iterations, d=0.85) over the trade graph — an
+    iterative fixpoint SQL can't express; exact 1e-9 parity vs an
+    independent Python power iteration in
+    tests/test_graph_analytics.py."""
+    from guackg.graph import pagerank
+    e = _bipartite_edges(spark, sf_dir)
+    return pagerank(e, iterations=5).select(
+        "key", F.round("rank", 9).alias("rank")).orderBy("key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from guackg.ops import relational as R
     return {
@@ -941,6 +959,8 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "corpus_hash_sample": _q_hash_sample,
         "corpus_contamination": _q_contamination,
+        "graph_degree_stats": _q_graph_degree_stats,
+        "graph_pagerank": _q_graph_pagerank,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }

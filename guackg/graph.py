@@ -574,3 +574,91 @@ def find_entities(nodes: DataFrame, kind: str | None = None,
     if key_prefix is not None:
         df = df.filter(F.col("canonical_key").startswith(key_prefix))
     return df
+
+
+def degree_stats(edges: DataFrame, subj_col: str = "subj_key",
+                 obj_col: str = "obj_key") -> DataFrame:
+    """Per-node degree rollup over the edge table: (key, out_degree,
+    in_degree, degree), one row per node appearing in any edge.
+    Counts parallel edges (the edge table's prop-tuple dedup already
+    collapsed true duplicates — materialize.py build_edges).
+
+    Scale shape: two map-side-combinable counts + one full-outer join
+    on the node key; head-entity skew is bounded by the partial
+    aggregation. Exact DuckDB parity in tests/test_graph_analytics.py
+    and `graph_degree_stats` in ungated_queries()."""
+    out_d = (edges.groupBy(F.col(subj_col).alias("key"))
+             .agg(F.count("*").alias("out_degree")))
+    in_d = (edges.groupBy(F.col(obj_col).alias("key"))
+            .agg(F.count("*").alias("in_degree")))
+    return (out_d.join(in_d, on="key", how="full")
+            .select("key",
+                    F.coalesce("out_degree", F.lit(0))
+                    .alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+            .withColumn("degree",
+                        F.col("out_degree") + F.col("in_degree")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85, subj_col: str = "subj_key",
+             obj_col: str = "obj_key",
+             checkpoint_every: int = 4) -> DataFrame:
+    """PageRank over the directed graph as iterated DataFrame joins
+    (Page/Brin/Motwani/Winograd 1999 power iteration — public
+    algorithm): returns (key, rank), sum(rank) == 1. The KG-analytics
+    "which entities matter" rollup next to connected components
+    (cc.py) — the reference's guacanalytics package walks the graph
+    but has no centrality op; this is a beyond-reference addition.
+
+    Semantics: parallel (subj, obj) edges count ONCE (web-graph
+    convention); dangling-node mass (nodes with no out-edges) is
+    redistributed uniformly each iteration, so ranks stay a
+    probability distribution. Deterministic for a fixed edge set and
+    iteration count; parity vs an exact Python power iteration in
+    tests/test_graph_analytics.py.
+
+    Scale shape: each iteration is one equi-join of the rank frame
+    with the pre-deduped edge frame on the source key plus one
+    map-side-combinable sum keyed by destination — the same
+    shuffle-on-node-key pattern as cc.py's star iterations. Head
+    in-degree entities are partial-agg safe; lineage is cut with
+    localCheckpoint every `checkpoint_every` iterations (on a real
+    cluster: checkpoint to the job scratch dir). The two driver
+    scalars per iteration (dangling mass) and up front (N) are 1-row
+    aggregates, not data collects."""
+    e = (edges.select(F.col(subj_col).alias("src"),
+                      F.col(obj_col).alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("key"))
+             .union(e.select(F.col("dst").alias("key")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy(F.col("src").alias("key")).agg(
+        F.count("*").alias("out_degree"))
+    # edge frame with the source fan-out attached once, reused every
+    # iteration (join key: src) — contribution = rank(src)/out_degree
+    ew = (e.join(out_deg, e.src == out_deg.key)
+          .select("src", "dst", "out_degree").localCheckpoint())
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        dangling = (ranks.join(out_deg, on="key", how="left_anti")
+                    .agg(F.sum("rank")).collect()[0][0]) or 0.0
+        contribs = (ew.join(ranks, ew.src == ranks.key)
+                    .select("dst",
+                            (F.col("rank") / F.col("out_degree"))
+                            .alias("c"))
+                    .groupBy(F.col("dst").alias("key"))
+                    .agg(F.sum("c").alias("c")))
+        ranks = (nodes.join(contribs, on="key", how="left")
+                 .select("key",
+                         (F.lit(base)
+                          + F.lit(damping)
+                          * (F.coalesce("c", F.lit(0.0))
+                             + F.lit(dangling / n))).alias("rank")))
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks

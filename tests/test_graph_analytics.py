@@ -1,0 +1,100 @@
+"""Graph-analytics ops (guackg/graph.py pagerank + degree_stats):
+degree rollup holds exact DuckDB parity; PageRank holds exact parity
+(1e-9) against an independent pure-Python power iteration with the
+same published semantics (distinct edges, uniform dangling-mass
+redistribution) — the in-suite oracle discipline for an op SQL can't
+express (iterative fixpoint)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import guackg.graph as G
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# crafted digraph: b is a hub, d is dangling (no out-edges), e-f-g a
+# cycle, a->b duplicated (parallel edge must count once), h self-loop,
+# i isolated-but-referenced sink
+EDGES = [
+    ("a", "b"), ("a", "b"), ("a", "c"), ("b", "d"), ("c", "b"),
+    ("e", "f"), ("f", "g"), ("g", "e"), ("h", "h"), ("b", "i"),
+]
+
+
+def py_pagerank(edges, iterations=10, damping=0.85):
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    out = {}
+    for u, _ in e:
+        out[u] = out.get(u, 0) + 1
+    rank = {k: 1.0 / n for k in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        dangling = sum(r for k, r in rank.items() if k not in out)
+        contrib = {k: 0.0 for k in nodes}
+        for u, v in e:
+            contrib[v] += rank[u] / out[u]
+        rank = {k: base + damping * (contrib[k] + dangling / n)
+                for k in nodes}
+    return rank
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    return spark.createDataFrame(EDGES, "subj_key string, obj_key string")
+
+
+def test_pagerank_vs_python_reference(crafted):
+    got = {r.key: r.rank for r in G.pagerank(crafted).collect()}
+    want = py_pagerank(EDGES)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # hub b outranks its spokes; cycle members outrank leaf i
+    assert got["b"] > got["c"] and got["e"] > got["i"]
+
+
+def test_pagerank_sf_graph_vs_python_reference(spark):
+    import __spark_entry__ as E
+    edges = E._bipartite_edges(spark, SF_DIR)
+    pairs = [(r.subj_key, r.obj_key)
+             for r in edges.select("subj_key", "obj_key").collect()]
+    got = {r.key: r.rank
+           for r in G.pagerank(edges, iterations=5).collect()}
+    want = py_pagerank(pairs, iterations=5)
+    assert set(got) == set(want) and len(got) > 100
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty(spark):
+    empty = spark.createDataFrame([], "subj_key string, obj_key string")
+    assert G.pagerank(empty).count() == 0
+
+
+def test_degree_stats_vs_duckdb(crafted):
+    got = (G.degree_stats(crafted).orderBy("key").toPandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("e", crafted.toPandas())
+    want = con.execute("""
+        WITH o AS (SELECT subj_key AS key, count(*) AS out_degree
+                   FROM e GROUP BY 1),
+             i AS (SELECT obj_key AS key, count(*) AS in_degree
+                   FROM e GROUP BY 1)
+        SELECT coalesce(o.key, i.key) AS key,
+               CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+               CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+               CAST(coalesce(out_degree, 0) + coalesce(in_degree, 0)
+                    AS BIGINT) AS degree
+        FROM o FULL JOIN i ON o.key = i.key ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # parallel a->b edges both count in the degree rollup
+    row = got[got.key == "a"].iloc[0]
+    assert row.out_degree == 3
