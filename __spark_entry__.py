@@ -179,6 +179,17 @@ def _q_contamination(spark, sf_dir):
                                  n=5).orderBy("doc_id")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (capacity 512) of the
+    corpus token stream via the two-phase distributed prefix sum;
+    exact DuckDB window parity in tests/test_pack.py."""
+    from guackg.ops.pack import pack_sequences
+    from guackg.ops.textstats import token_counts
+    toks = token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens"))
+    return pack_sequences(toks, 512).orderBy("doc_id")
+
+
 def _q_clean_stages(spark, sf_dir):
     """Composed C4-style corpus cleaning (lang gate → quality gate →
     exact dedup → MinHash near-dup collapse) as per-stage attrition
@@ -961,6 +972,7 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_contamination": _q_contamination,
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_pagerank": _q_graph_pagerank,
+        "corpus_pack_sequences": _q_pack_sequences,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }
