@@ -36,8 +36,8 @@ from guackg.ops.dedup import (exact_dedup, minhash_lsh_pairs,
 from guackg.ops.textstats import (lang_guess_col, quality_col,
                                   repetition_col)
 
-CLEAN_STAGES = ("lang", "quality", "repetition", "exact_dup",
-                "near_dup", "kept")
+CLEAN_STAGES = ("lang", "quality", "repetition", "contaminated",
+                "exact_dup", "near_dup", "kept")
 
 
 def clean_corpus(docs: DataFrame, text_col: str = "text",
@@ -45,7 +45,10 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                  min_quality: float = 0.3,
                  near_threshold: float = 0.8,
                  max_dup_line_frac: float | None = None,
-                 drop_dup_paragraphs: bool = False) -> DataFrame:
+                 drop_dup_paragraphs: bool = False,
+                 benchmark: DataFrame | None = None,
+                 contamination_n: int = 13,
+                 max_contamination: float = 0.0) -> DataFrame:
     """docs(doc_id, text, …) → one row per input doc:
     (doc_id, lang_guess, quality, dup_line_frac, stage, cluster_id,
     keep).
@@ -56,6 +59,16 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     `cluster_id` is the near-dup component representative for docs
     that reached the last stage (its own doc_id for singletons; NULL
     for docs dropped earlier). `keep` is (stage == 'kept').
+
+    `benchmark` (a docs frame with doc_id + text_col) enables the
+    decontamination gate: docs whose word-`contamination_n`-gram
+    overlap frac with the benchmark exceeds `max_contamination`
+    (default: any overlap) exit at 'contaminated'. The gate sits
+    after the row-wise gates and before the dedup stages — cheap-to-
+    expensive order holds (the broadcast-join overlap check only
+    scans row-wise survivors), and since contamination is a per-doc
+    measure vs a FIXED benchmark, the verdict is independent of which
+    other docs are in the frame.
 
     `drop_dup_paragraphs=True` runs dedup.paragraph_dedup FIRST (the
     RefinedWeb order: boilerplate removal before the quality signals,
@@ -98,6 +111,17 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
 
     gated = base.filter(F.col("_gate").isNull()) \
         .select("doc_id", text_col)
+    cont_bad = None
+    if benchmark is not None:
+        from guackg.ops.contamination import contamination_overlap
+        cont_bad = (contamination_overlap(gated, benchmark,
+                                          n=contamination_n,
+                                          text_col=text_col)
+                    .filter(F.col("contamination_frac")
+                            > F.lit(max_contamination))
+                    .select("doc_id").withColumn("_cont", F.lit(1)))
+        gated = gated.join(cont_bad.select("doc_id"), on="doc_id",
+                           how="left_anti")
     # exact winners: smallest doc_id per content hash; every other
     # member of the hash group exits at 'exact_dup'
     ex_keep = exact_dedup(gated, text_col).select("doc_id") \
@@ -109,17 +133,20 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                               threshold=near_threshold)
     collapse = near_dup_collapse(survivors, pairs)  # doc_id, cluster_id, keep
 
-    out = (base
-           .join(ex_keep, on="doc_id", how="left")
+    out = base.join(ex_keep, on="doc_id", how="left")
+    late = (F.when(F.col("_ex").isNull(), F.lit("exact_dup"))
+            .when(~F.col("_nd_keep"), F.lit("near_dup"))
+            .otherwise(F.lit("kept")))
+    if cont_bad is not None:
+        out = out.join(cont_bad, on="doc_id", how="left")
+        late = F.when(F.col("_cont").isNotNull(),
+                      F.lit("contaminated")).otherwise(late)
+    out = (out
            .join(collapse.withColumnRenamed("keep", "_nd_keep"),
                  on="doc_id", how="left")
            .select(
                "doc_id", "lang_guess", "quality", "dup_line_frac",
-               F.coalesce(
-                   F.col("_gate"),
-                   F.when(F.col("_ex").isNull(), F.lit("exact_dup"))
-                   .when(~F.col("_nd_keep"), F.lit("near_dup"))
-                   .otherwise(F.lit("kept"))).alias("stage"),
+               F.coalesce(F.col("_gate"), late).alias("stage"),
                "cluster_id"))
     out = out.withColumn("keep", F.col("stage") == "kept")
     # materialize the audit (one compact row per input doc) and cut

@@ -53,10 +53,19 @@ def run_clean(spark, args) -> dict:
             .withColumnRenamed("text_dedup", args.text_col)
         docs = docs.drop(args.text_col).join(
             rewritten.select("doc_id", args.text_col), on="doc_id")
+    # getattr defaults: in-process callers (tests) build bare
+    # Namespaces without the optional decontamination args
+    bench_path = getattr(args, "benchmark", None)
+    benchmark = spark.read.parquet(bench_path) if bench_path else None
     audit = clean_corpus(docs, text_col=args.text_col, langs=langs,
                          min_quality=args.min_quality,
                          near_threshold=args.near_threshold,
-                         max_dup_line_frac=args.max_dup_line_frac)
+                         max_dup_line_frac=args.max_dup_line_frac,
+                         benchmark=benchmark,
+                         contamination_n=getattr(args, "contamination_n",
+                                                 13),
+                         max_contamination=getattr(
+                             args, "max_contamination", 0.0))
     if args.out:
         # audit comes back checkpointed (clean_corpus materializes
         # it), so the write, the kept join, and the stats rollup all
@@ -90,6 +99,11 @@ def main() -> None:
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="enable the Gopher duplicate-line repetition "
                          "gate at this threshold (off by default)")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet docs table of the eval set; enables "
+                         "the decontamination gate (n-gram overlap)")
+    ap.add_argument("--contamination-n", type=int, default=13)
+    ap.add_argument("--max-contamination", type=float, default=0.0)
     ap.add_argument("--drop-dup-paragraphs", action="store_true",
                     help="remove corpus-wide duplicated paragraphs "
                          "BEFORE the gates (RefinedWeb order); kept/ "

@@ -137,3 +137,30 @@ def test_broadcast_plan(crafted):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in s
     assert "BatchEvalPython" not in s
+
+
+def test_clean_corpus_contamination_gate(spark, crafted):
+    """The decontamination gate composes into clean_corpus: the
+    contaminated doc exits at 'contaminated', every other audit row
+    is unchanged vs the benchmark-less run."""
+    from guackg.ops.clean import clean_corpus
+    # english-looking corpus that passes the row-wise gates
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and then "
+             "the fox sleeps in the warm sun for a while"),
+         (2, "a completely different document about the weather and "
+             "the sea with many common english words in it"),
+         (3, "a completely different document about the weather and "
+             "the sea with many common english words in it")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "fox jumps over the lazy")],
+        "doc_id long, text string")
+    base = {r.doc_id: r.stage
+            for r in clean_corpus(corpus, min_quality=0.0).collect()}
+    got = {r.doc_id: r.stage
+           for r in clean_corpus(corpus, min_quality=0.0,
+                                 benchmark=bench,
+                                 contamination_n=5).collect()}
+    assert base == {1: "kept", 2: "kept", 3: "exact_dup"}
+    assert got == {1: "contaminated", 2: "kept", 3: "exact_dup"}
