@@ -190,6 +190,15 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(toks, 512).orderBy("doc_id")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sampling (the data-mixing step);
+    exact DuckDB parity in tests/test_textclean.py."""
+    from guackg.ops.dedup import stratified_hash_sample
+    return stratified_hash_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.1}, "lang",
+        default_rate=0.25).select("doc_id", "lang").orderBy("doc_id")
+
+
 def _q_clean_stages(spark, sf_dir):
     """Composed C4-style corpus cleaning (lang gate → quality gate →
     exact dedup → MinHash near-dup collapse) as per-stage attrition
@@ -973,6 +982,7 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_pagerank": _q_graph_pagerank,
         "corpus_pack_sequences": _q_pack_sequences,
+        "corpus_stratified_sample": _q_stratified_sample,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,
         "ann_lsh_cosine_topk": _q_ann_lsh,
     }

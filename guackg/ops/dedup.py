@@ -545,3 +545,33 @@ def hash_sample(docs: DataFrame, rate: float,
     threshold = format(int(rate * (1 << 128)), "032x")
     return docs.filter(
         F.md5(F.col(key_col).cast("string")) < F.lit(threshold))
+
+
+def stratified_hash_sample(docs: DataFrame, rates: dict[str, float],
+                           strata_col: str, default_rate: float = 0.0,
+                           key_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling: hash_sample with a
+    different rate per value of `strata_col` (the data-mixing /
+    up-down-sampling step of corpus assembly — e.g. per-language or
+    per-domain rates). Strata not in `rates` use `default_rate`.
+    Same engine-portable md5-threshold rule as hash_sample, so the
+    kept row set is a pure function of (key, stratum, rates) — unlike
+    DataFrame.sampleBy, which draws from RNG state and is neither
+    reproducible across engines nor stable under repartitioning.
+
+    A pure narrow filter: the per-stratum threshold is a small
+    literal CASE map (O(|rates|) branches, broadcast in the plan —
+    fine for the ≤10^3 strata of lang/domain-tier mixing; for 10^6+
+    strata join a rates table instead). NULL keys and NULL strata
+    (when default_rate < 1) are never sampled — quarantine
+    convention. Exact DuckDB parity in tests/test_textclean.py."""
+    def _thr(rate: float) -> str:
+        if rate >= 1:
+            return "g"  # lexicographically above every 32-hex digest
+        return format(int(max(rate, 0.0) * (1 << 128)), "032x")
+
+    thr = F.lit(_thr(default_rate))
+    for val, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == F.lit(val),
+                     F.lit(_thr(rate))).otherwise(thr)
+    return docs.filter(F.md5(F.col(key_col).cast("string")) < thr)

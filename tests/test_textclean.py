@@ -341,3 +341,47 @@ def test_hash_sample_vs_duckdb(sf_docs, rate):
     again = {r.doc_id for r in
              hash_sample(sf_docs, rate).select("doc_id").collect()}
     assert got == again
+
+
+@pytest.mark.parametrize("rates,default", [
+    ({"en": 0.5, "de": 0.1}, 0.0),
+    ({"en": 1.0}, 0.25),
+    ({}, 0.3),
+])
+def test_stratified_hash_sample_vs_duckdb(sf_docs, rates, default):
+    """Per-stratum md5-threshold sampling replays exactly in DuckDB
+    (same CASE map over the same hex compare)."""
+    from guackg.ops.dedup import stratified_hash_sample
+    got = (stratified_hash_sample(sf_docs, rates, "lang", default)
+           .select("doc_id").toPandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    def thr(r):
+        return "g" if r >= 1 else format(int(max(r, 0.0) * (1 << 128)),
+                                         "032x")
+    branches = " ".join(
+        f"WHEN lang = '{v}' THEN '{thr(r)}'"
+        for v, r in sorted(rates.items()))
+    case = (f"CASE {branches} ELSE '{thr(default)}' END"
+            if branches else f"'{thr(default)}'")
+    con = duckdb.connect()
+    con.register("docs", sf_docs.toPandas())
+    want = con.execute(
+        f"SELECT doc_id FROM docs WHERE md5(doc_id::VARCHAR) < {case} "
+        f"ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stratified_hash_sample_rate_one_and_null(spark):
+    """rate 1.0 keeps the whole stratum (the 'g' sentinel outranks
+    every hex digest); NULL strata fall to default; NULL keys never
+    sample."""
+    from guackg.ops.dedup import stratified_hash_sample
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, "de")],
+        "doc_id long, lang string")
+    kept = {r.doc_id for r in stratified_hash_sample(
+        df, {"en": 1.0}, "lang", default_rate=0.0).collect()}
+    assert kept == {1, 2}
+    all_kept = {r.doc_id for r in stratified_hash_sample(
+        df, {}, "lang", default_rate=1.0).collect()}
+    assert all_kept == {1, 2, 3, 4}
