@@ -602,8 +602,7 @@ def degree_stats(edges: DataFrame, subj_col: str = "subj_key",
 
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85, subj_col: str = "subj_key",
-             obj_col: str = "obj_key",
-             checkpoint_every: int = 4) -> DataFrame:
+             obj_col: str = "obj_key") -> DataFrame:
     """PageRank over the directed graph as iterated DataFrame joins
     (Page/Brin/Motwani/Winograd 1999 power iteration — public
     algorithm): returns (key, rank), sum(rank) == 1. The KG-analytics
@@ -622,11 +621,14 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     with the pre-deduped edge frame on the source key plus one
     map-side-combinable sum keyed by destination — the same
     shuffle-on-node-key pattern as cc.py's star iterations. Head
-    in-degree entities are partial-agg safe; lineage is cut with
-    localCheckpoint every `checkpoint_every` iterations (on a real
-    cluster: checkpoint to the job scratch dir). The two driver
-    scalars per iteration (dangling mass) and up front (N) are 1-row
-    aggregates, not data collects."""
+    in-degree entities are partial-agg safe. The rank frame is
+    localCheckpoint-ed EVERY iteration: the per-iteration dangling-
+    mass aggregate forces an evaluation anyway, so materializing once
+    and letting the contribution join reuse it is strictly cheaper
+    than re-deriving the lineage twice per iteration (and keeps the
+    plan depth constant — on a real cluster, checkpoint to the job
+    scratch dir). The driver scalars (N up front, dangling mass per
+    iteration) are 1-row aggregates, not data collects."""
     e = (edges.select(F.col(subj_col).alias("src"),
                       F.col(obj_col).alias("dst"))
          .distinct())
@@ -645,6 +647,7 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(iterations):
+        ranks = ranks.localCheckpoint()
         dangling = (ranks.join(out_deg, on="key", how="left_anti")
                     .agg(F.sum("rank")).collect()[0][0]) or 0.0
         contribs = (ew.join(ranks, ew.src == ranks.key)
@@ -659,6 +662,4 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                           + F.lit(damping)
                           * (F.coalesce("c", F.lit(0.0))
                              + F.lit(dangling / n))).alias("rank")))
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.localCheckpoint()

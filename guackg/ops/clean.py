@@ -114,12 +114,20 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     cont_bad = None
     if benchmark is not None:
         from guackg.ops.contamination import contamination_overlap
+        # gate on the UNROUNDED ratio (matched > max*n), not the
+        # 6-decimal contamination_frac — rounding would slip a huge
+        # doc with one matched gram past a strict max_contamination=0.
+        # persist: this doc_id list is consumed by three plans (the
+        # anti-join feeding survivors/ex_keep and the audit join) —
+        # unpersisted, the n-gram explode+join would re-run per branch.
         cont_bad = (contamination_overlap(gated, benchmark,
                                           n=contamination_n,
                                           text_col=text_col)
-                    .filter(F.col("contamination_frac")
-                            > F.lit(max_contamination))
-                    .select("doc_id").withColumn("_cont", F.lit(1)))
+                    .filter(F.col("matched_grams")
+                            > F.lit(max_contamination)
+                            * F.col("n_grams"))
+                    .select("doc_id").withColumn("_cont", F.lit(1))
+                    .persist())
         gated = gated.join(cont_bad.select("doc_id"), on="doc_id",
                            how="left_anti")
     # exact winners: smallest doc_id per content hash; every other
@@ -161,13 +169,15 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     out = out.localCheckpoint(eager=True)
     survivors.unpersist()
     base.unpersist()
+    if cont_bad is not None:
+        cont_bad.unpersist()
     return out
 
 
 def clean_corpus_stats(cleaned: DataFrame) -> DataFrame:
     """Per-stage attrition rollup of a `clean_corpus` output — the
     counters a cleaning run reports (docs in, dropped per gate, kept).
-    One tiny agg; `stage` has cardinality len(CLEAN_STAGES) (6)."""
+    One tiny agg; `stage` has cardinality len(CLEAN_STAGES) (7)."""
     return (cleaned.groupBy("stage")
             .agg(F.count("*").alias("n_docs"))
             .orderBy("stage"))

@@ -25,23 +25,12 @@ from pyspark.sql import functions as F
 DEFAULT_N = 13  # the published decontamination gram length
 
 
-def _words(text_col: str) -> F.Column:
-    return F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-                r"\s+"),
-        lambda x: x != F.lit(""))
-
-
-def _distinct_grams(text_col: str, n: int) -> F.Column:
-    """Distinct word n-grams of a document as an array<string>.
-    Docs with < n words yield an empty array (sequence(1, k) would
-    DESCEND for k < 1 — same gate as textstats.top_ngram_stats)."""
-    return F.when(
-        F.size("_w") >= n,
-        F.array_distinct(F.expr(
-            f"transform(sequence(1, size(_w) - {n} + 1), "
-            f"i -> array_join(slice(_w, i, {n}), ' '))")))\
-        .otherwise(F.expr("cast(array() as array<string>)"))
+def _distinct_grams(n: int) -> F.Column:
+    """Distinct word n-grams over the pre-projected `_w` word array —
+    the SHARED tokenization + gram rule from textstats (words_col /
+    ngrams_over_words), distinct-wrapped for the overlap measure."""
+    from guackg.ops.textstats import ngrams_over_words
+    return F.array_distinct(ngrams_over_words(n))
 
 
 def ngram_inventory(docs: DataFrame, n: int = DEFAULT_N,
@@ -49,9 +38,10 @@ def ngram_inventory(docs: DataFrame, n: int = DEFAULT_N,
     """Global distinct word-n-gram inventory of a corpus: one `gram`
     column, one row per distinct gram. For a benchmark set this is the
     broadcast side of contamination_overlap."""
+    from guackg.ops.textstats import words_col
     return (docs
-            .select(_words(text_col).alias("_w"))
-            .select(F.explode(_distinct_grams(text_col, n)).alias("gram"))
+            .select(words_col(text_col).alias("_w"))
+            .select(F.explode(_distinct_grams(n)).alias("gram"))
             .distinct())
 
 
@@ -69,12 +59,13 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
     eval set (≤ ~10^7 grams). Set False to let AQE pick (shuffle join)
     when decontaminating against a benchmark-sized-like-a-corpus.
     Exact DuckDB-parity oracle in tests/test_contamination.py."""
+    from guackg.ops.textstats import words_col
     inv = ngram_inventory(benchmark, n, text_col)
     if broadcast_benchmark:
         inv = F.broadcast(inv)
     base = (corpus
-            .select("doc_id", _words(text_col).alias("_w"))
-            .select("doc_id", _distinct_grams(text_col, n).alias("_g")))
+            .select("doc_id", words_col(text_col).alias("_w"))
+            .select("doc_id", _distinct_grams(n).alias("_g")))
     per_doc = (base
                .select("doc_id", F.explode("_g").alias("gram"))
                .join(inv.withColumn("_hit", F.lit(1)), on="gram",
@@ -107,5 +98,11 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     clean.clean_corpus by filtering before the cleaning stages."""
     stats = contamination_overlap(corpus, benchmark, n, text_col,
                                   broadcast_benchmark)
+    # gate on the UNROUNDED ratio: matched/n <= max_frac  <=>
+    # matched <= max_frac*n (n >= 0). The reported contamination_frac
+    # is rounded to 6 places for oracle portability, so a book-length
+    # doc with one matched gram (true frac ~1e-7) would round to 0.0
+    # and slip a frac-based strict gate.
     return (corpus.join(stats, on="doc_id", how="inner")
-            .filter(F.col("contamination_frac") <= F.lit(max_frac)))
+            .filter(F.col("matched_grams")
+                    <= F.lit(max_frac) * F.col("n_grams")))

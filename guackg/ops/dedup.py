@@ -562,9 +562,11 @@ def stratified_hash_sample(docs: DataFrame, rates: dict[str, float],
     A pure narrow filter: the per-stratum threshold is a small
     literal CASE map (O(|rates|) branches, broadcast in the plan —
     fine for the ≤10^3 strata of lang/domain-tier mixing; for 10^6+
-    strata join a rates table instead). NULL keys and NULL strata
-    (when default_rate < 1) are never sampled — quarantine
-    convention. Exact DuckDB parity in tests/test_textclean.py."""
+    strata join a rates table instead). A NULL stratum is "not in the
+    rates map" and samples at `default_rate` (sampleBy's
+    not-in-fractions rule, generalized); NULL keys are never sampled
+    (md5(NULL) is NULL — quarantine convention). Exact DuckDB parity
+    in tests/test_textclean.py."""
     def _thr(rate: float) -> str:
         if rate >= 1:
             return "g"  # lexicographically above every 32-hex digest

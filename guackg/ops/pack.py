@@ -67,11 +67,18 @@ def pack_sequences(docs: DataFrame, capacity: int,
     n_tokens, start_token, seq_id, seq_offset), where seq_id/
     seq_offset locate the doc's FIRST token (seq_id = start_token div
     capacity). Zero-token docs keep a row (their start is where their
-    zero-length span sits). Deterministic for a fixed corpus."""
+    zero-length span sits), as do NULL- and negative-count docs:
+    both clamp to 0 tokens (textstats.token_counts reports NULL for
+    NULL text — the quarantine convention; an unchecked negative
+    would silently shift every later doc's placement and can make
+    seq_offset negative). Deterministic for a fixed corpus."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    s = _with_start(docs.select("doc_id", token_col), token_col,
-                    partitions)
+    clamped = docs.select(
+        "doc_id",
+        F.greatest(F.lit(0), F.coalesce(
+            F.col(token_col).cast("long"), F.lit(0))).alias(token_col))
+    s = _with_start(clamped, token_col, partitions)
     return (s.select(
         "doc_id",
         F.col(token_col).cast("long").alias("n_tokens"),

@@ -154,6 +154,30 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def words_col(text_col: str = "text") -> F.Column:
+    """Lower-cased whitespace word array with empties removed — THE
+    tokenization rule every word-n-gram op shares (top_ngram_stats
+    here, ops/contamination.py's overlap grams). One definition so a
+    future change to the split/lowering rule cannot silently diverge
+    between the oracle-checked stats and the decontamination gate."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
+        lambda x: x != F.lit(""))
+
+
+def ngrams_over_words(n: int, words: str = "_w") -> F.Column:
+    """Word n-gram array over an already-projected word-array column
+    (default name `_w`). Docs with < n words yield an EMPTY array —
+    sequence(1, k) DESCENDS when k < 1, so the gram build is gated on
+    size >= n."""
+    return F.when(
+        F.size(words) >= n,
+        F.expr(f"transform(sequence(1, size({words}) - {n} + 1), "
+               f"i -> array_join(slice({words}, i, {n}), ' '))"))\
+        .otherwise(F.expr("cast(array() as array<string>)"))
+
+
 def top_ngram_stats(docs: DataFrame, text_col: str = "text",
                     n: int = 2) -> DataFrame:
     """Most-frequent word n-gram per doc and its share of all n-grams
@@ -167,21 +191,11 @@ def top_ngram_stats(docs: DataFrame, text_col: str = "text",
     keys every shuffle by doc_id (+gram), so head documents cannot
     skew a partition beyond their own gram count; no corpus-wide
     window. Exact DuckDB-parity oracle in tests/test_textclean.py."""
-    words = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-                r"\s+"),
-        lambda x: x != F.lit(""))
-    # sequence(1, k) DESCENDS when k < 1 — gate the gram build on
-    # size >= n so short docs yield an empty array, not [1, 0]
-    base = docs.select("doc_id", words.alias("_w")).select(
+    base = docs.select("doc_id", words_col(text_col).alias("_w")).select(
         "doc_id",
         F.when(F.size("_w") >= n, F.size("_w") - (n - 1))
         .otherwise(F.lit(0)).alias("n_grams"),
-        F.when(F.size("_w") >= n,
-               F.expr(f"transform(sequence(1, size(_w) - {n} + 1), "
-                      f"i -> array_join(slice(_w, i, {n}), ' '))"))
-        .otherwise(F.expr("cast(array() as array<string>)"))
-        .alias("_grams"))
+        ngrams_over_words(n).alias("_grams"))
     top = (base.select("doc_id", F.explode("_grams").alias("gram"))
            .groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
            .groupBy("doc_id")

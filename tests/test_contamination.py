@@ -164,3 +164,18 @@ def test_clean_corpus_contamination_gate(spark, crafted):
                                  contamination_n=5).collect()}
     assert base == {1: "kept", 2: "kept", 3: "exact_dup"}
     assert got == {1: "contaminated", 2: "kept", 3: "exact_dup"}
+
+
+def test_decontaminate_fractional_threshold_unrounded(crafted):
+    """The gate compares matched <= max_frac * n_grams (unrounded),
+    not the 6-decimal display frac. Doc 2 has 2/7 matched grams:
+    kept at max_frac=0.3 (2 <= 2.1), dropped at 0.25 (2 > 1.75)."""
+    corpus, bench = _split(crafted)
+    at_30 = {r.doc_id for r in
+             C.decontaminate(corpus, bench, n=3, max_frac=0.3)
+             .select("doc_id").collect()}
+    at_25 = {r.doc_id for r in
+             C.decontaminate(corpus, bench, n=3, max_frac=0.25)
+             .select("doc_id").collect()}
+    assert 2 in at_30 and 2 not in at_25
+    assert 1 not in at_30  # fully contaminated stays dropped

@@ -106,3 +106,16 @@ def test_partition_count_invariance(sf_tokens):
         .orderBy("doc_id").toPandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_null_and_negative_token_counts_clamp(spark):
+    """NULL (token_counts' NULL-text quarantine) and negative counts
+    clamp to 0 tokens instead of corrupting every later placement."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, -7), (4, 3)],
+        "doc_id long, n_tokens long")
+    got = {r.doc_id: (r.n_tokens, r.start_token)
+           for r in pack_sequences(df, 4, partitions=2).collect()}
+    assert got == {1: (5, 0), 2: (0, 5), 3: (0, 5), 4: (3, 5)}
+    m = pack_manifest(df, 4, partitions=2)
+    assert {r.doc_id for r in m.collect()} == {1, 4}

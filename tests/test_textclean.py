@@ -385,3 +385,16 @@ def test_stratified_hash_sample_rate_one_and_null(spark):
     all_kept = {r.doc_id for r in stratified_hash_sample(
         df, {}, "lang", default_rate=1.0).collect()}
     assert all_kept == {1, 2, 3, 4}
+
+
+def test_stratified_null_stratum_uses_default_rate(spark):
+    """A NULL stratum is 'not in the rates map': it samples at
+    default_rate via the same md5 threshold (sampleBy's
+    not-in-fractions rule, generalized)."""
+    from guackg.ops.dedup import hash_sample, stratified_hash_sample
+    df = spark.createDataFrame(
+        [(i, None) for i in range(200)], "doc_id long, lang string")
+    got = {r.doc_id for r in stratified_hash_sample(
+        df, {"en": 0.9}, "lang", default_rate=0.3).collect()}
+    want = {r.doc_id for r in hash_sample(df, 0.3).collect()}
+    assert got == want and 0 < len(got) < 200
