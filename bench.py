@@ -143,7 +143,8 @@ def main() -> None:
                 "ann_cosine_topk",
                 # round-4 curation additions
                 "dedup_paragraphs", "pii_redact", "url_domain_stats",
-                "corpus_contamination"]
+                "corpus_contamination", "corpus_pack_sequences",
+                "graph_pagerank"]
     if os.environ.get("GUACKG_BENCH_QUERIES", "1") == "0":
         headline = []
     # per-query min over ≥3 runs (round-3 verdict task #8: single-shot

@@ -600,6 +600,12 @@ def degree_stats(edges: DataFrame, subj_col: str = "subj_key",
                         F.col("out_degree") + F.col("in_degree")))
 
 
+# broadcast the O(nodes) rank frame below this node count: 4M rows of
+# (short key, double) ≈ ≲64 MB resident — the same explicit-bound
+# broadcast contract as link.py's dictionary and cc.py's driver path
+PAGERANK_BROADCAST_MAX_NODES = 4_000_000
+
+
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85, subj_col: str = "subj_key",
              obj_col: str = "obj_key") -> DataFrame:
@@ -629,9 +635,12 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     plan depth constant — on a real cluster, checkpoint to the job
     scratch dir). The driver scalars (N up front, dangling mass per
     iteration) are 1-row aggregates, not data collects."""
+    # checkpoint the deduped edge list FIRST: nodes, out_deg and ew
+    # below would each re-derive the upstream plan (often a join)
+    # through the distinct otherwise
     e = (edges.select(F.col(subj_col).alias("src"),
                       F.col(obj_col).alias("dst"))
-         .distinct())
+         .distinct().localCheckpoint())
     nodes = (e.select(F.col("src").alias("key"))
              .union(e.select(F.col("dst").alias("key")))
              .distinct().localCheckpoint())
@@ -644,13 +653,23 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     # iteration (join key: src) — contribution = rank(src)/out_degree
     ew = (e.join(out_deg, e.src == out_deg.key)
           .select("src", "dst", "out_degree").localCheckpoint())
+    # the rank frame is O(nodes) — orders of magnitude below the edge
+    # frame on any web-shaped graph. Below an explicit node bound
+    # (~64 MB of (key, rank) rows resident) broadcast it, so each
+    # iteration's contribution join never reshuffles the big edge
+    # frame; n is the EXACT count computed above, not a Catalyst
+    # estimate (the codebase's measured-size broadcast rule). Above
+    # the bound both sides shuffle on the node key — the at-scale
+    # path, same key every iteration.
+    bcast = n <= PAGERANK_BROADCAST_MAX_NODES
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(iterations):
         ranks = ranks.localCheckpoint()
         dangling = (ranks.join(out_deg, on="key", how="left_anti")
                     .agg(F.sum("rank")).collect()[0][0]) or 0.0
-        contribs = (ew.join(ranks, ew.src == ranks.key)
+        r = F.broadcast(ranks) if bcast else ranks
+        contribs = (ew.join(r, ew.src == r.key)
                     .select("dst",
                             (F.col("rank") / F.col("out_degree"))
                             .alias("c"))
