@@ -163,3 +163,36 @@ def test_clean_corpus_cli(spark, tmp_path):
     a2 = spark.read.parquet(os.path.join(out2, "audit"))
     assert sorted(map(tuple, audit.collect())) == \
         sorted(map(tuple, a2.collect()))
+
+
+def test_clean_corpus_cli_with_benchmark(spark, tmp_path):
+    """--benchmark wires the decontamination gate through run_clean:
+    the overlapping doc lands in the 'contaminated' stage and out of
+    kept/."""
+    import argparse as _ap
+    import os
+    import scripts.clean_corpus as C
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and then "
+             "the fox sleeps in the warm sun for a while"),
+         (2, "a completely different document about the weather and "
+             "the sea with many common english words in it")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "fox jumps over the lazy")], "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    bpath = str(tmp_path / "bench.parquet")
+    docs.write.parquet(inp)
+    bench.write.parquet(bpath)
+    out = str(tmp_path / "cleaned")
+    args = _ap.Namespace(input=inp, out=out, text_col="text",
+                         langs="en", min_quality=0.0,
+                         near_threshold=0.5, max_dup_line_frac=None,
+                         drop_dup_paragraphs=False, master=None,
+                         benchmark=bpath, contamination_n=5,
+                         max_contamination=0.0)
+    summary = C.run_clean(spark, args)
+    assert summary["dropped_per_stage"] == {"contaminated": 1}
+    assert summary["kept"] == 1
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    assert {r.doc_id for r in kept.collect()} == {2}
