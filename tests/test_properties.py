@@ -213,3 +213,58 @@ def test_url_host_domain_match_python(spark, urls):
                      registered_domain_col().alias("d")).collect()}
     for i, u in rows:
         assert got[i] == (_py_host(u), _py_domain(u)), (u, got[i])
+
+
+# ---- round-4 session ops: pack prefix-sum and stratified sampling
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.one_of(st.integers(-3, 50), st.none()),
+                min_size=1, max_size=80),
+       st.integers(1, 40), st.integers(1, 7))
+def test_pack_sequences_matches_python_prefix_sum(spark, toks, cap,
+                                                  parts):
+    """The two-phase distributed prefix sum equals the sequential
+    Python scan (with the documented NULL/negative→0 clamp) for any
+    token list, capacity, and partition count."""
+    from guackg.ops.pack import pack_sequences
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r.doc_id: (r.n_tokens, r.start_token, r.seq_id, r.seq_offset)
+           for r in pack_sequences(df, cap, partitions=parts).collect()}
+    acc = 0
+    for i, t in enumerate(toks):
+        n = max(t or 0, 0)
+        assert got[i] == (n, acc, acc // cap, acc % cap), \
+            f"doc {i}: {got[i]} vs n={n} start={acc}"
+        acc += n
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10**6),
+                          st.one_of(st.none(),
+                                    st.sampled_from(["en", "de", "fr"]))),
+                min_size=1, max_size=80, unique_by=lambda t: t[0]),
+       st.dictionaries(st.sampled_from(["en", "de", "fr"]),
+                       st.floats(0, 1), max_size=3),
+       st.floats(0, 1))
+def test_stratified_sample_matches_python_md5_rule(spark, rows, rates,
+                                                   default):
+    """The per-stratum threshold rule replays exactly in Python:
+    keep iff md5(str(key)) < threshold(stratum), NULL strata at the
+    default rate."""
+    import hashlib
+    from guackg.ops.dedup import stratified_hash_sample
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r.doc_id for r in
+           stratified_hash_sample(df, rates, "lang", default).collect()}
+    def thr(rate):
+        return "g" if rate >= 1 else \
+            format(int(max(rate, 0.0) * (1 << 128)), "032x")
+    want = {k for k, lang in rows
+            if hashlib.md5(str(k).encode()).hexdigest()
+            < thr(rates.get(lang, default) if lang is not None
+                  else default)}
+    assert got == want
