@@ -682,3 +682,62 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                           * (F.coalesce("c", F.lit(0.0))
                              + F.lit(dangling / n))).alias("rank")))
     return ranks.localCheckpoint()
+
+
+def triangle_count(edges: DataFrame, subj_col: str = "subj_key",
+                   obj_col: str = "obj_key") -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph
+    induced by the edge table (direction and parallel edges ignored;
+    self-loops dropped): (key, triangles), one row per node appearing
+    in any edge. The clustering-structure analog next to degree_stats
+    and pagerank — beyond-reference analytics.
+
+    Skew shape (the standard orientation trick, Schank/Wagner 2005 —
+    public algorithm): every undirected edge is oriented from its
+    lower-(degree, key) endpoint to the higher, so wedge enumeration
+    fans out only at LOW-degree vertices — a head entity with degree
+    d contributes O(sqrt(m)) wedge work instead of O(d²), which is
+    the difference between feasible and not on a Zipf web graph. The
+    wedge join and the closing-edge join are both equi-joins on node
+    keys (AQE-skew-safe); counts are map-side combinable. Exact
+    DuckDB parity in tests/test_graph_analytics.py."""
+    sym = (edges.select(F.col(subj_col).alias("u"),
+                        F.col(obj_col).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = (sym.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .distinct().localCheckpoint())
+    deg = und.select(F.col("u").alias("key")).union(
+        und.select(F.col("v").alias("key"))) \
+        .groupBy("key").agg(F.count("*").alias("deg"))
+    # orient u→v iff (deg(u), u) < (deg(v), v); carry the endpoint
+    # degrees so the closing edge canonicalizes without a global rank
+    du = deg.select(F.col("key").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("key").alias("v"), F.col("deg").alias("dv"))
+    w = und.join(du, on="u").join(dv, on="v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = (w.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"))
+        .localCheckpoint())
+    # wedges at the low endpoint; canonicalize the closing pair by the
+    # same (deg, key) order so it matches exactly one oriented edge
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    wedge = (a.join(b, on="src")
+             .filter(F.struct(F.col("a.dst_deg"), F.col("a.dst"))
+                     < F.struct(F.col("b.dst_deg"), F.col("b.dst")))
+             .select(F.col("src").alias("k1"),
+                     F.col("a.dst").alias("k2"),
+                     F.col("b.dst").alias("k3")))
+    closing = oriented.select(F.col("src").alias("k2"),
+                              F.col("dst").alias("k3"))
+    tri = wedge.join(closing, on=["k2", "k3"])
+    per_node = (tri.select(F.explode(F.array("k1", "k2", "k3"))
+                .alias("key"))
+                .groupBy("key").agg(F.count("*").alias("triangles")))
+    return (deg.select("key")
+            .join(per_node, on="key", how="left")
+            .select("key", F.coalesce("triangles", F.lit(0))
+                    .alias("triangles")))

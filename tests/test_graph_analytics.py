@@ -98,3 +98,63 @@ def test_degree_stats_vs_duckdb(crafted):
     # parallel a->b edges both count in the degree rollup
     row = got[got.key == "a"].iloc[0]
     assert row.out_degree == 3
+
+
+TRI_SQL = """
+WITH sym AS (
+  SELECT subj_key AS u, obj_key AS v FROM e WHERE subj_key <> obj_key),
+und AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM sym),
+tri AS (
+  SELECT e1.u AS k1, e1.v AS k2, e2.v AS k3
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+nodes AS (SELECT u AS key FROM und UNION SELECT v FROM und),
+per AS (
+  SELECT key, count(*) AS triangles FROM (
+    SELECT k1 AS key FROM tri UNION ALL
+    SELECT k2 FROM tri UNION ALL SELECT k3 FROM tri)
+  GROUP BY key)
+SELECT n.key, CAST(coalesce(per.triangles, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN per USING (key) ORDER BY n.key
+"""
+
+
+def _tri_parity(df):
+    got = (G.triangle_count(df).orderBy("key").toPandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("e", df.toPandas())
+    want = con.execute(TRI_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    return got
+
+
+def test_triangle_count_vs_duckdb_crafted(spark):
+    # K4 on a-b-c-d (4 triangles, 3 per node), a pendant e, a
+    # self-loop, parallel + reversed duplicates (must count once),
+    # and a triangle-free path f-g-h
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d"), ("c", "d"),
+             ("d", "e"), ("x", "x"), ("f", "g"), ("g", "h")]
+    df = spark.createDataFrame(edges, "subj_key string, obj_key string")
+    got = _tri_parity(df)
+    t = dict(zip(got.key, got.triangles))
+    assert t["a"] == t["b"] == t["c"] == t["d"] == 3  # K4: C(3,2)=3
+    assert t["e"] == t["f"] == t["g"] == t["h"] == 0
+    assert "x" not in t  # self-loop only: no undirected edge survives
+
+
+def test_triangle_count_vs_duckdb_sf_cosupplier(spark):
+    """Co-supplier graph (suppliers sharing an order) — a real
+    triangle-rich sf-derived graph."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pairs = (li.alias("a").join(li.alias("b"), on="l_orderkey")
+             .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+             .select(F.concat(F.lit("s:"), F.col("a.l_suppkey"))
+                     .alias("subj_key"),
+                     F.concat(F.lit("s:"), F.col("b.l_suppkey"))
+                     .alias("obj_key"))
+             .distinct())
+    got = _tri_parity(pairs)
+    assert got.triangles.sum() > 0  # non-degenerate fixture
