@@ -901,6 +901,22 @@ def _q_graph_triangles(spark, sf_dir):
     return triangle_count(pairs).orderBy("key")
 
 
+def _q_graph_kcore(spark, sf_dir):
+    """Coreness of every node in the co-supplier graph via the
+    h-index fixpoint; exact parity vs the sequential peeling
+    reference in tests/test_graph_analytics.py."""
+    from guackg.graph import k_core
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (li.alias("a").join(li.alias("b"), on="l_orderkey")
+             .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+             .select(F.concat(F.lit("s:"), F.col("a.l_suppkey"))
+                     .alias("subj_key"),
+                     F.concat(F.lit("s:"), F.col("b.l_suppkey"))
+                     .alias("obj_key"))
+             .distinct())
+    return k_core(pairs).orderBy("key")
+
+
 def _q_graph_pagerank(spark, sf_dir):
     """PageRank (5 iterations, d=0.85) over the trade graph — an
     iterative fixpoint SQL can't express; exact 1e-9 parity vs an
@@ -998,6 +1014,7 @@ def ungated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangle_count": _q_graph_triangles,
+        "graph_k_core": _q_graph_kcore,
         "corpus_pack_sequences": _q_pack_sequences,
         "corpus_stratified_sample": _q_stratified_sample,
         "emb_near_dup_lsh_pairs": _q_emb_near_dup_lsh,

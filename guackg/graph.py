@@ -741,3 +741,58 @@ def triangle_count(edges: DataFrame, subj_col: str = "subj_key",
             .join(per_node, on="key", how="left")
             .select("key", F.coalesce("triangles", F.lit(0))
                     .alias("triangles")))
+
+
+def k_core(edges: DataFrame, subj_col: str = "subj_key",
+           obj_col: str = "obj_key",
+           max_iterations: int = 50) -> DataFrame:
+    """Coreness (k-core number) of every node in the UNDIRECTED
+    simple graph induced by the edge table: (key, core). The
+    degeneracy-ordering curation op of web-graph analysis (dense-core
+    extraction / spam farms) next to degree_stats / pagerank /
+    triangle_count.
+
+    Algorithm: the h-index fixpoint (Lü/Zhou/Zhang/Stanley 2016,
+    public): start every node at its degree, then repeatedly replace
+    each node's value with the h-index of its neighbors' values;
+    the fixpoint is exactly the coreness of the classic sequential
+    peeling. Each round is one join (values onto the symmetrized
+    edge list, keyed by neighbor) + one per-node aggregation; the
+    h-index needs the neighbor multiset, so the aggregation is a
+    collect_list bounded by the node's true degree — the same
+    holistic-agg caveat as ops/skew.salted_collect_sorted, which is
+    the drop-in if a mega-node's degree list outgrows a task (web
+    graphs: cap or salt; counts here are ints, ~8 bytes × degree).
+    Convergence is monotone non-increasing, detected by a 1-row
+    changed-count aggregate per round; localCheckpoint per round
+    keeps plan depth constant. Exact parity vs the sequential
+    peeling reference in tests/test_graph_analytics.py."""
+    sym = (edges.select(F.col(subj_col).alias("u"),
+                        F.col(obj_col).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = (sym.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .distinct())
+    adj = (und.select(F.col("u").alias("key"), F.col("v").alias("nbr"))
+           .union(und.select(F.col("v").alias("key"),
+                             F.col("u").alias("nbr")))
+           .localCheckpoint())
+    vals = (adj.groupBy("key").agg(F.count("*").alias("core"))
+            .localCheckpoint())
+    # h-index of a value array: sort desc, largest i with a[i] >= i
+    h_expr = ("aggregate(array_sort(_vs, (x, y) -> case when x > y "
+              "then -1 when x < y then 1 else 0 end), 0, (acc, x) -> "
+              "case when x >= acc + 1 then acc + 1 else acc end)")
+    for _ in range(max_iterations):
+        nxt = (adj.join(vals.withColumnRenamed("key", "nbr")
+                        .withColumnRenamed("core", "_nc"), on="nbr")
+               .groupBy("key").agg(F.collect_list("_nc").alias("_vs"))
+               .select("key", F.expr(h_expr).alias("core"))
+               .localCheckpoint())
+        changed = (nxt.join(vals.withColumnRenamed("core", "_old"),
+                            on="key")
+                   .filter(F.col("core") != F.col("_old")).count())
+        vals = nxt
+        if changed == 0:
+            break
+    return vals

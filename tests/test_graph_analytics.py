@@ -158,3 +158,55 @@ def test_triangle_count_vs_duckdb_sf_cosupplier(spark):
              .distinct())
     got = _tri_parity(pairs)
     assert got.triangles.sum() > 0  # non-degenerate fixture
+
+
+def py_coreness(pairs):
+    """Sequential peeling reference: repeatedly remove the minimum-
+    degree node; its coreness is the running maximum of min-degrees."""
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core = {}
+    deg = {k: len(ns) for k, ns in adj.items()}
+    k = 0
+    while deg:
+        m = min(deg.values())
+        k = max(k, m)
+        victim = min(x for x, d in deg.items() if d == m)
+        core[victim] = k
+        for n in adj[victim]:
+            if n in deg:
+                deg[n] -= 1
+        del deg[victim]
+    return core
+
+
+@pytest.mark.parametrize("pairs", [
+    # K4 + pendant + path + triangle with a tail + two components
+    [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+     ("c", "d"), ("d", "e"), ("f", "g"), ("g", "h"),
+     ("p", "q"), ("q", "r"), ("r", "p"), ("r", "s")],
+    # star (all coreness 1)
+    [("hub", f"leaf{i}") for i in range(8)],
+])
+def test_k_core_matches_peeling_reference(spark, pairs):
+    df = spark.createDataFrame(pairs, "subj_key string, obj_key string")
+    got = {r.key: r.core for r in G.k_core(df).collect()}
+    assert got == py_coreness(pairs)
+
+
+def test_k_core_sf_cosupplier_vs_reference(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pairs_df = (li.alias("a").join(li.alias("b"), on="l_orderkey")
+                .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+                .select(F.concat(F.lit("s:"), F.col("a.l_suppkey"))
+                        .alias("subj_key"),
+                        F.concat(F.lit("s:"), F.col("b.l_suppkey"))
+                        .alias("obj_key"))
+                .distinct())
+    pairs = [(r.subj_key, r.obj_key) for r in pairs_df.collect()]
+    got = {r.key: r.core for r in G.k_core(pairs_df).collect()}
+    assert got == py_coreness(pairs) and max(got.values()) >= 2
