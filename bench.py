@@ -144,7 +144,7 @@ def main() -> None:
                 # round-4 curation additions
                 "dedup_paragraphs", "pii_redact", "url_domain_stats",
                 "corpus_contamination", "corpus_pack_sequences",
-                "graph_pagerank", "graph_triangle_count"]
+                "graph_pagerank", "graph_triangle_count", "graph_k_core"]
     if os.environ.get("GUACKG_BENCH_QUERIES", "1") == "0":
         headline = []
     # per-query min over ≥3 runs (round-3 verdict task #8: single-shot

@@ -763,36 +763,67 @@ def k_core(edges: DataFrame, subj_col: str = "subj_key",
     holistic-agg caveat as ops/skew.salted_collect_sorted, which is
     the drop-in if a mega-node's degree list outgrows a task (web
     graphs: cap or salt; counts here are ints, ~8 bytes × degree).
-    Convergence is monotone non-increasing, detected by a 1-row
-    changed-count aggregate per round; localCheckpoint per round
-    keeps plan depth constant. Exact parity vs the sequential
-    peeling reference in tests/test_graph_analytics.py."""
+    The update is POINTWISE monotone non-increasing (each round's
+    h-index can only drop), so the value SUM is a sufficient
+    convergence signal: one 1-row aggregate per round, no
+    compare-join. localCheckpoint per round keeps plan depth
+    constant. Exact parity vs the sequential peeling reference in
+    tests/test_graph_analytics.py."""
     sym = (edges.select(F.col(subj_col).alias("u"),
                         F.col(obj_col).alias("v"))
            .filter(F.col("u") != F.col("v")))
     und = (sym.select(F.least("u", "v").alias("u"),
                       F.greatest("u", "v").alias("v"))
-           .distinct())
+           .distinct().persist())
+    # bounded driver fast path (the repo's standard adaptive rule,
+    # GRAPH_DRIVER_MAX_EDGES/_BYTES; GUACKG_GRAPH_DRIVER_BOUND=0
+    # pins the distributed fixpoint): below the bounds the exact
+    # sequential peeling runs driver-side — value-identical because
+    # the h-index fixpoint EQUALS the peeling coreness (the Lü et
+    # al. theorem), asserted by the mode-parity tests
+    pairs = _driver_edge_list(und, ["u", "v"])
+    if pairs is not None:
+        und.unpersist()
+        spark = edges.sparkSession
+        adj_d: dict[str, set] = {}
+        for r in pairs:
+            adj_d.setdefault(r[0], set()).add(r[1])
+            adj_d.setdefault(r[1], set()).add(r[0])
+        core: dict[str, int] = {}
+        deg = {k: len(ns) for k, ns in adj_d.items()}
+        k = 0
+        while deg:
+            m = min(deg.values())
+            k = max(k, m)
+            victim = min(x for x, d in deg.items() if d == m)
+            core[victim] = k
+            for nb in adj_d[victim]:
+                if nb in deg:
+                    deg[nb] -= 1
+            del deg[victim]
+        return spark.createDataFrame(
+            sorted(core.items()), "key string, core int")
     adj = (und.select(F.col("u").alias("key"), F.col("v").alias("nbr"))
            .union(und.select(F.col("v").alias("key"),
                              F.col("u").alias("nbr")))
            .localCheckpoint())
+    und.unpersist()
     vals = (adj.groupBy("key").agg(F.count("*").alias("core"))
             .localCheckpoint())
     # h-index of a value array: sort desc, largest i with a[i] >= i
     h_expr = ("aggregate(array_sort(_vs, (x, y) -> case when x > y "
               "then -1 when x < y then 1 else 0 end), 0, (acc, x) -> "
               "case when x >= acc + 1 then acc + 1 else acc end)")
+    prev_sum = None
     for _ in range(max_iterations):
         nxt = (adj.join(vals.withColumnRenamed("key", "nbr")
                         .withColumnRenamed("core", "_nc"), on="nbr")
                .groupBy("key").agg(F.collect_list("_nc").alias("_vs"))
                .select("key", F.expr(h_expr).alias("core"))
                .localCheckpoint())
-        changed = (nxt.join(vals.withColumnRenamed("core", "_old"),
-                            on="key")
-                   .filter(F.col("core") != F.col("_old")).count())
+        cur_sum = nxt.agg(F.sum("core")).collect()[0][0]
         vals = nxt
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return vals

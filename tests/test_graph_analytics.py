@@ -184,6 +184,7 @@ def py_coreness(pairs):
     return core
 
 
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
 @pytest.mark.parametrize("pairs", [
     # K4 + pendant + path + triangle with a tail + two components
     [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
@@ -192,13 +193,21 @@ def py_coreness(pairs):
     # star (all coreness 1)
     [("hub", f"leaf{i}") for i in range(8)],
 ])
-def test_k_core_matches_peeling_reference(spark, pairs):
+def test_k_core_matches_peeling_reference(spark, monkeypatch, pairs,
+                                          mode):
+    """Both the bounded driver peeling fast path and the distributed
+    h-index fixpoint (GUACKG_GRAPH_DRIVER_BOUND=0) equal the
+    sequential peeling reference."""
+    if mode == "distributed":
+        monkeypatch.setenv("GUACKG_GRAPH_DRIVER_BOUND", "0")
     df = spark.createDataFrame(pairs, "subj_key string, obj_key string")
     got = {r.key: r.core for r in G.k_core(df).collect()}
     assert got == py_coreness(pairs)
 
 
-def test_k_core_sf_cosupplier_vs_reference(spark):
+def test_k_core_sf_cosupplier_vs_reference(spark, monkeypatch):
+    monkeypatch.setenv("GUACKG_GRAPH_DRIVER_BOUND", "0")  # pin the
+    # distributed fixpoint: the fast path IS the reference algorithm
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     pairs_df = (li.alias("a").join(li.alias("b"), on="l_orderkey")
                 .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
