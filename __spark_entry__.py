@@ -885,20 +885,33 @@ def _q_graph_degree_stats(spark, sf_dir):
     return degree_stats(_bipartite_edges(spark, sf_dir)).orderBy("key")
 
 
-def _q_graph_triangles(spark, sf_dir):
-    """Per-node triangle counts over the co-supplier graph (suppliers
-    sharing an order) via degree-ordered wedge enumeration; exact
-    DuckDB parity in tests/test_graph_analytics.py."""
-    from guackg.graph import triangle_count
+def _cosupplier_edges(spark, sf_dir, min_orders: int = 6):
+    """Strong-tie co-supplier graph: an edge per supplier pair that
+    co-occurs in >= min_orders orders. The weight threshold matters
+    for the analytics queries' cost realism: the RAW co-occurrence
+    graph at sf0.1 is a near-clique (1000 suppliers, ~450k of the
+    500k possible pairs), and triangle/wedge work on a clique is
+    Theta(n^3) no matter how it's oriented — thresholding recovers
+    the sparse Zipf shape real web graphs have (~18k edges at
+    sf0.1; sf0.001's 10 suppliers stay fully connected)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pairs = (li.alias("a").join(li.alias("b"), on="l_orderkey")
-             .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-             .select(F.concat(F.lit("s:"), F.col("a.l_suppkey"))
+    return (li.alias("a").join(li.alias("b"), on="l_orderkey")
+            .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            .groupBy(F.concat(F.lit("s:"), F.col("a.l_suppkey"))
                      .alias("subj_key"),
                      F.concat(F.lit("s:"), F.col("b.l_suppkey"))
                      .alias("obj_key"))
-             .distinct())
-    return triangle_count(pairs).orderBy("key")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= min_orders)
+            .select("subj_key", "obj_key"))
+
+
+def _q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the strong-tie co-supplier graph
+    via degree-ordered wedge enumeration; exact DuckDB parity in
+    tests/test_graph_analytics.py."""
+    from guackg.graph import triangle_count
+    return triangle_count(_cosupplier_edges(spark, sf_dir))         .orderBy("key")
 
 
 def _q_graph_kcore(spark, sf_dir):
@@ -906,15 +919,7 @@ def _q_graph_kcore(spark, sf_dir):
     h-index fixpoint; exact parity vs the sequential peeling
     reference in tests/test_graph_analytics.py."""
     from guackg.graph import k_core
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pairs = (li.alias("a").join(li.alias("b"), on="l_orderkey")
-             .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-             .select(F.concat(F.lit("s:"), F.col("a.l_suppkey"))
-                     .alias("subj_key"),
-                     F.concat(F.lit("s:"), F.col("b.l_suppkey"))
-                     .alias("obj_key"))
-             .distinct())
-    return k_core(pairs).orderBy("key")
+    return k_core(_cosupplier_edges(spark, sf_dir)).orderBy("key")
 
 
 def _q_graph_pagerank(spark, sf_dir):
