@@ -14,9 +14,10 @@ lineage cut per round (same loop family as the CC iterations).
 
 from __future__ import annotations
 
+import math
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Below these bounds the (pred-filtered, distinct) edge list is
@@ -745,7 +746,7 @@ def triangle_count(edges: DataFrame, subj_col: str = "subj_key",
 
 def k_core(edges: DataFrame, subj_col: str = "subj_key",
            obj_col: str = "obj_key",
-           max_iterations: int = 50) -> DataFrame:
+           max_iterations: int | None = None) -> DataFrame:
     """Coreness (k-core number) of every node in the UNDIRECTED
     simple graph induced by the edge table: (key, core). The
     degeneracy-ordering curation op of web-graph analysis (dense-core
@@ -756,19 +757,39 @@ def k_core(edges: DataFrame, subj_col: str = "subj_key",
     public): start every node at its degree, then repeatedly replace
     each node's value with the h-index of its neighbors' values;
     the fixpoint is exactly the coreness of the classic sequential
-    peeling. Each round is one join (values onto the symmetrized
-    edge list, keyed by neighbor) + one per-node aggregation; the
-    h-index needs the neighbor multiset, so the aggregation is a
-    collect_list bounded by the node's true degree — the same
-    holistic-agg caveat as ops/skew.salted_collect_sorted, which is
-    the drop-in if a mega-node's degree list outgrows a task (web
-    graphs: cap or salt; counts here are ints, ~8 bytes × degree).
+    peeling.
+
+    Skew-hardened rounds (no neighbor multiset is ever
+    materialized): each round computes a per-(key, value) COUNT
+    histogram, a per-key suffix sum over value descending
+    (sort-based window: spillable (key, t, cnt) triples, never an
+    in-memory array), and h = max(min(t, suffix_count)) — the
+    sorted-position identity h = max_i min(a_i, i) evaluated at each
+    histogram block's last position. The count aggregation is
+    map-side combinable, so a mega-hub's 10^8 neighbor values arrive
+    at the reducer as per-partition partial counts, not rows. The
+    histogram width carries a HARD bound: initial values are capped
+    at B = ceil(sqrt(2m)) — a provable coreness upper bound
+    (k(k+1)/2 <= m edges), and the h-index operator is monotone, so
+    iterating from any pointwise bound between coreness and degree
+    converges to the same fixpoint — and values only decrease, so
+    every round's per-node histogram is <= min(degree, B) rows
+    (~1.4M at m = 10^12; a 16-byte-row spillable sort, not an
+    800 MB array). This replaces the earlier degree-bounded
+    collect_list (mega-hub parity test:
+    tests/test_graph_analytics.py::test_k_core_mega_hub_distributed).
+
     The update is POINTWISE monotone non-increasing (each round's
-    h-index can only drop), so the value SUM is a sufficient
-    convergence signal: one 1-row aggregate per round, no
-    compare-join. localCheckpoint per round keeps plan depth
-    constant. Exact parity vs the sequential peeling reference in
-    tests/test_graph_analytics.py."""
+    h-index can only drop), so the value SUM is a sufficient AND
+    EXACT convergence signal: sum-stable <=> pointwise-stable for
+    monotone integer updates. The loop therefore runs to the true
+    fixpoint (worst case O(diameter) rounds); `max_iterations` is a
+    safety valve that RAISES on exhaustion rather than returning
+    non-fixpoint (hence wrong) coreness values. localCheckpoint per
+    round keeps plan depth constant. Exact parity vs the sequential
+    peeling reference in tests/test_graph_analytics.py, including a
+    130-node path (coreness 1 everywhere, ~65 rounds) that the old
+    capped loop got wrong."""
     sym = (edges.select(F.col(subj_col).alias("u"),
                         F.col(obj_col).alias("v"))
            .filter(F.col("u") != F.col("v")))
@@ -807,23 +828,45 @@ def k_core(edges: DataFrame, subj_col: str = "subj_key",
            .union(und.select(F.col("v").alias("key"),
                              F.col("u").alias("nbr")))
            .localCheckpoint())
+    m = und.count()  # already materialized; a metadata-cheap count
     und.unpersist()
-    vals = (adj.groupBy("key").agg(F.count("*").alias("core"))
+    # B = ceil(sqrt(2m)) >= max coreness (a k-core needs k(k+1)/2
+    # edges); capping the start values there keeps every round's
+    # per-node histogram <= B rows and, by monotonicity of the
+    # h-index operator, does not move the fixpoint
+    bound = int(math.isqrt(2 * m)) + 1
+    vals = (adj.groupBy("key")
+            .agg(F.least(F.count("*"), F.lit(bound)).alias("core"))
             .localCheckpoint())
-    # h-index of a value array: sort desc, largest i with a[i] >= i
-    h_expr = ("aggregate(array_sort(_vs, (x, y) -> case when x > y "
-              "then -1 when x < y then 1 else 0 end), 0, (acc, x) -> "
-              "case when x >= acc + 1 then acc + 1 else acc end)")
+    nbr_w = Window.partitionBy("key").orderBy(F.desc("t"))
     prev_sum = None
-    for _ in range(max_iterations):
-        nxt = (adj.join(vals.withColumnRenamed("key", "nbr")
-                        .withColumnRenamed("core", "_nc"), on="nbr")
-               .groupBy("key").agg(F.collect_list("_nc").alias("_vs"))
-               .select("key", F.expr(h_expr).alias("core"))
+    rounds = 0
+    while True:
+        if max_iterations is not None and rounds >= max_iterations:
+            raise RuntimeError(
+                f"k_core: fixpoint not reached in {max_iterations} "
+                "rounds (safety valve); rerun with "
+                "max_iterations=None for the exact result")
+        rounds += 1
+        # per-(key, value) histogram of neighbor values — the only
+        # per-node state that ever crosses the shuffle
+        hist = (adj.join(vals.withColumnRenamed("key", "nbr")
+                         .withColumnRenamed("core", "t"), on="nbr")
+                .groupBy("key", "t")
+                .agg(F.count("*").alias("cnt")))
+        # h = max over histogram rows of min(t, suffix_count): the
+        # classic sorted-position identity h = max_i min(a_i, i)
+        # evaluated at each block's last position. NOT "max t with
+        # suffix_count >= t" over present values — that misses
+        # h-indices at absent thresholds (values [3,3,1]: true h=2
+        # via t=2, which is not a present value; min(3, ge=2)=2
+        # finds it). Covered by the two-K4s-bridge peeling fixture.
+        nxt = (hist.withColumn("ge", F.sum("cnt").over(nbr_w))
+               .groupBy("key")
+               .agg(F.max(F.least("t", "ge")).alias("core"))
                .localCheckpoint())
         cur_sum = nxt.agg(F.sum("core")).collect()[0][0]
         vals = nxt
         if cur_sum == prev_sum:
-            break
+            return vals
         prev_sum = cur_sum
-    return vals

@@ -192,6 +192,15 @@ def py_coreness(pairs):
      ("p", "q"), ("q", "r"), ("r", "p"), ("r", "s")],
     # star (all coreness 1)
     [("hub", f"leaf{i}") for i in range(8)],
+    # two K4s bridged through x plus a pendant on x: x's neighbor
+    # values settle at [3, 3, 1] whose h-index is 2 — a threshold
+    # NOT present among the values (regression for the histogram
+    # formulation: h = max(min(t, suffix_count)), not max present t
+    # with suffix_count >= t)
+    [(a, b) for grp in (["a1", "a2", "a3", "a4"],
+                        ["b1", "b2", "b3", "b4"])
+     for i, a in enumerate(grp) for b in grp[i + 1:]]
+    + [("x", "a1"), ("x", "b1"), ("x", "pend")],
 ])
 def test_k_core_matches_peeling_reference(spark, monkeypatch, pairs,
                                           mode):
@@ -219,3 +228,53 @@ def test_k_core_sf_cosupplier_vs_reference(spark, monkeypatch):
     pairs = [(r.subj_key, r.obj_key) for r in pairs_df.collect()]
     got = {r.key: r.core for r in G.k_core(pairs_df).collect()}
     assert got == py_coreness(pairs) and max(got.values()) >= 2
+
+
+def test_k_core_long_path_runs_to_fixpoint(spark, monkeypatch):
+    """130-node path graph, distributed mode: true coreness is 1
+    everywhere, but the h-index fixpoint needs ~O(diameter) rounds to
+    get there. The old 50-round cap silently returned core=2 for the
+    interior nodes; the loop must now run to the exact fixpoint."""
+    monkeypatch.setenv("GUACKG_GRAPH_DRIVER_BOUND", "0")
+    pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(129)]
+    df = spark.createDataFrame(pairs, "subj_key string, obj_key string")
+    got = {r.key: r.core for r in G.k_core(df).collect()}
+    assert got == py_coreness(pairs)  # all 1s
+    assert set(got.values()) == {1}
+
+
+def test_k_core_safety_valve_raises_not_wrong(spark, monkeypatch):
+    """With max_iterations set too low the op RAISES instead of
+    returning non-fixpoint (wrong) coreness values."""
+    monkeypatch.setenv("GUACKG_GRAPH_DRIVER_BOUND", "0")
+    pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
+    df = spark.createDataFrame(pairs, "subj_key string, obj_key string")
+    with pytest.raises(RuntimeError, match="fixpoint not reached"):
+        G.k_core(df, max_iterations=3).collect()
+
+
+def test_k_core_mega_hub_distributed(spark, monkeypatch):
+    """Skew drill for the count-above-threshold rounds: one hub with
+    1e5 neighbors (a Zipf head entity in miniature) plus a K5 clique
+    the hub belongs to. The histogram formulation must give exact
+    peeling parity without ever materializing the hub's neighbor
+    multiset — the per-(key, t) counts for the hub collapse to a
+    handful of rows (t clamped to own value)."""
+    monkeypatch.setenv("GUACKG_GRAPH_DRIVER_BOUND", "0")
+    n_leaves = 100_000
+    leaves = spark.range(n_leaves).select(
+        F.lit("hub").alias("subj_key"),
+        F.concat(F.lit("leaf"), F.col("id")).alias("obj_key"))
+    clique_nodes = ["hub", "c1", "c2", "c3", "c4"]
+    clique = [(a, b) for i, a in enumerate(clique_nodes)
+              for b in clique_nodes[i + 1:]]
+    df = leaves.union(spark.createDataFrame(
+        clique, "subj_key string, obj_key string"))
+    got = {r.key: r.core for r in G.k_core(df).collect()}
+    assert len(got) == n_leaves + 5
+    assert got["hub"] == 4 and got["c1"] == 4
+    assert got["leaf0"] == 1 and got["leaf99999"] == 1
+    sample = [(u, v) for u, v in clique] + [
+        ("hub", f"leaf{i}") for i in range(50)]
+    ref = py_coreness(sample)  # clique coreness unchanged by leaves
+    assert got["c4"] == ref["c4"] == 4
