@@ -83,7 +83,10 @@ def pack_sequences(docs: DataFrame, capacity: int,
         "doc_id",
         F.col(token_col).cast("long").alias("n_tokens"),
         "start_token",
-        (F.col("start_token") / capacity).cast("long").alias("seq_id"),
+        # integer `div`, not `/`: double division loses exactness
+        # above 2^53 cumulative tokens (reachable for a pretraining-
+        # scale corpus) and would disagree with the exact `%` below
+        F.expr(f"start_token div {int(capacity)}").alias("seq_id"),
         (F.col("start_token") % capacity).alias("seq_offset")))
 
 
@@ -97,8 +100,8 @@ def pack_manifest(docs: DataFrame, capacity: int,
     The explode is keyed by doc (a doc spanning k sequences emits k
     rows), so no skew beyond a single giant document."""
     placed = pack_sequences(docs, capacity, token_col, partitions)
-    end_seq = ((F.col("start_token") + F.col("n_tokens") - 1)
-               / capacity).cast("long")
+    end_seq = F.expr(
+        f"(start_token + n_tokens - 1) div {int(capacity)}")
     spans = (placed.filter(F.col("n_tokens") > 0)
              .withColumn("_seq", F.explode(
                  F.sequence(F.col("seq_id"), end_seq))))

@@ -119,3 +119,21 @@ def test_null_and_negative_token_counts_clamp(spark):
     assert got == {1: (5, 0), 2: (0, 5), 3: (0, 5), 4: (3, 5)}
     m = pack_manifest(df, 4, partitions=2)
     assert {r.doc_id for r in m.collect()} == {1, 4}
+
+
+def test_seq_id_exact_above_double_precision(spark):
+    """seq_id/end_seq use integer `div`, not double `/`: with
+    cumulative token counts past 2^53 the double path rounds and can
+    disagree with the exact `%` used for seq_offset. Five docs of
+    2^52 tokens each push start_token to 4*2^52 > 2^53."""
+    from guackg.ops.pack import pack_sequences
+    big = 1 << 52
+    docs = spark.createDataFrame(
+        [(f"d{i}", big) for i in range(5)],
+        "doc_id string, n_tokens long")
+    cap = 1000
+    rows = pack_sequences(docs, cap, partitions=2).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.seq_id * cap + r.seq_offset == r.start_token
+        assert 0 <= r.seq_offset < cap
