@@ -372,6 +372,39 @@ def equivalence_edges_from_links(links: DataFrame) -> DataFrame:
     )
 
 
+def advisory_edges(advisory_triples: DataFrame,
+                   links: DataFrame) -> DataFrame:
+    """Parsed `same_as` assertions (the advisory dialect,
+    triples.py parse_advisory — guac's VulnEqual/PkgEqual equality
+    ingest, /root/reference/pkg/assembler/assembler.go:99-103) →
+    key-level equivalence edges for the canonicalizer: each asserted
+    surface resolves through the SAME links table mentions resolve
+    through (dict/LSH key if linked, else the C3 `ent:guac/<norm>`
+    synthesized key — exactly resolve_triples' coalesce), so an
+    assertion between two surfaces merges whatever keys those
+    surfaces actually canonicalize to. Two hash joins against the
+    small links table (broadcast at test scale), no Python."""
+    link_map = links.select("norm", "canonical_key")
+    t = (advisory_triples
+         .withColumn("a_norm",
+                     normalize_surface_col(F.col("subj_surface")))
+         .withColumn("b_norm",
+                     normalize_surface_col(F.col("obj_surface"))))
+    t = t.join(link_map.withColumnRenamed("norm", "a_norm")
+               .withColumnRenamed("canonical_key", "key_a"),
+               on="a_norm", how="left")
+    t = t.join(link_map.withColumnRenamed("norm", "b_norm")
+               .withColumnRenamed("canonical_key", "key_b"),
+               on="b_norm", how="left")
+    return (t.select(
+        F.coalesce("key_a", F.concat(F.lit("ent:guac/"),
+                                     F.col("a_norm"))).alias("key_a"),
+        F.coalesce("key_b", F.concat(F.lit("ent:guac/"),
+                                     F.col("b_norm"))).alias("key_b"),
+        F.lit("advisory").alias("method"))
+        .distinct())
+
+
 def identifier_candidates(links: DataFrame,
                           triples: DataFrame | None = None,
                           freq: DataFrame | None = None) -> DataFrame:

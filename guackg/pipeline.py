@@ -24,14 +24,15 @@ from guackg.cc import connected_components
 from guackg.extract import extract, valid_col
 from guackg.lineage import Lineage
 from guackg.link import (DRIVER_LINK_MAX_DICT, DRIVER_LINK_MAX_VOCAB,
-                         equivalence_edges_from_links,
+                         advisory_edges, equivalence_edges_from_links,
                          identifier_candidates, link_mentions,
                          link_mentions_driver, mention_frequencies)
 from guackg.materialize import (build_edges, build_nodes,
                                 page_map_fits_broadcast,
                                 page_mention_edges, page_node_rows,
                                 resolve_triples)
-from guackg.triples import EXTRACTOR_VERSION, extract_triples
+from guackg.triples import (EXTRACTOR_VERSION, SAME_AS_PRED,
+                            extract_triples)
 
 STAGES = ("extract", "triples", "link", "canonicalize", "materialize")
 PIPELINE_VERSION = "0.6"  # bump invalidates lineage of older layouts
@@ -205,9 +206,16 @@ class KGPipeline:
             return out
 
         if "triples" in stages:
-            out["triples"] = self._run_stage(
+            # ONE parser pass writes every dialect's output; mention
+            # triples and advisory `same_as` assertions (the
+            # VulnEqual/PkgEqual equality ingest,
+            # assembler.go:99-103) are filters over the written table
+            # — assertions feed the canonicalizer, never edges.
+            parsed = self._run_stage(
                 "triples", _fingerprint(fp_base, "triples"),
                 lambda: extract_triples(out["extracted"]))
+            out["triples"] = parsed.filter(F.col("pred") != SAME_AS_PRED)
+            out["advisory"] = parsed.filter(F.col("pred") == SAME_AS_PRED)
             # T4 tombstones: pages that were scanned (valid, en) but
             # yielded ZERO triples — guac's noVuln "scanned and clean"
             # rows (parser/vuln/vuln.go:65-168), so 'clean' is
@@ -221,8 +229,11 @@ class KGPipeline:
                 # 'never scanned' for that snapshot
                 scanned = out["extracted"].filter(F.col("lang") == "en") \
                     .select("url", "warc_ts")
+                # anti-join the FULL parsed output (mentions AND
+                # advisory assertions): an advisory page yielded
+                # output, so it is not 'scanned and clean'
                 return (scanned
-                        .join(out["triples"]
+                        .join(parsed
                               .select("url", "warc_ts").distinct(),
                               on=["url", "warc_ts"], how="left_anti")
                         .withColumn("extractor", F.lit(EXTRACTOR_VERSION))
@@ -292,6 +303,12 @@ class KGPipeline:
         if "canonicalize" in stages:
             def _cc():
                 equiv = out["equivalence_edges"].select("key_a", "key_b")
+                # parser-asserted equality (the advisory dialect)
+                # merges components exactly like linker edges and
+                # caller-supplied assertions do
+                equiv = equiv.unionByName(
+                    advisory_edges(out["advisory"], out["links"])
+                    .select("key_a", "key_b"))
                 if assertions is not None:
                     equiv = equiv.unionByName(
                         assertions.select(F.col("key_a"), F.col("key_b")))

@@ -9,7 +9,7 @@ model parser, parser/spdx/parse_spdx.go) — as ONE vectorized
 PARSER REGISTRY (the reference's extensibility story —
 parser/parser.go:43-60 registers 11 document parsers keyed by
 DocumentType; the processor guesses the type first,
-guesser/guesser.go:25-51): three dialects here, routed per row by a
+guesser/guesser.go:25-51): four dialects here, routed per row by a
 format discriminator on the extracted text:
 
 - "text"  — the sentence grammar below (free-form surface text with
@@ -27,7 +27,12 @@ format discriminator on the extracted text:
   TAGS, not blank lines, because the extract stage's whitespace
   collapse (extract.py spec step 5) drops empty lines — the dialect
   is designed to survive its own ingest path. Incomplete records
-  and unknown predicate ids are skipped row-wise.
+  and unknown predicate ids are skipped row-wise;
+- "advisory" — a `#KGADV` header then `equal: A == B` assertion
+  lines (the CSAF/OpenVEX analog: parsers that emit VulnEqual/
+  equality predicates straight from document content). Emits
+  `same_as` triples that the pipeline routes into the
+  canonicalizer's assertion stream, never into mention edges.
 
 Every triple is stamped `extractor = {EXTRACTOR_VERSION}/{dialect}` —
 per-parser lineage identity (the DSSE identity analog, T7), so
@@ -66,7 +71,7 @@ from pyspark.sql.types import (StringType, StructField, StructType,
 
 from guackg.vocab import ALL_PRED_SURFACES, PRED_SURFACES_BY_LEN
 
-EXTRACTOR_VERSION = "guackg-openie-0.3"
+EXTRACTOR_VERSION = "guackg-openie-0.4"
 
 # valid predicate ids for the structured dialect (closed vocabulary —
 # the rel-map validation of parse_spdx.go:434-453)
@@ -188,11 +193,43 @@ def parse_tag_value(text: str) -> list[tuple[str, str, str]]:
     return out
 
 
+# the equivalence predicate advisory documents assert. NOT in the
+# sentence lexicon: only the advisory dialect emits it, and the
+# pipeline routes these triples to the canonicalizer's assertion
+# stream (guac ingests *Equal predicates into equality edges,
+# /root/reference/pkg/assembler/assembler.go:99-103,173-186 — they
+# never appear as dependency/mention edges)
+SAME_AS_PRED = "same_as"
+
+
+def parse_advisory(text: str) -> list[tuple[str, str, str]]:
+    """Advisory dialect (the CSAF/OpenVEX analog: documents whose
+    CONTENT asserts that two identifiers are the same thing —
+    VulnEqual from CSAF aliases,
+    /root/reference/pkg/ingestor/parser/csaf/parser_csaf.go, and
+    open_vex/parser_open_vex.go): a `#KGADV` header then one
+    `equal: <surface A> == <surface B>` line per assertion. Emits
+    (a, same_as, b) triples. Same row-wise-skip error model as the
+    other dialects: junk lines, missing sides, and a missing `==`
+    separator yield nothing, never an exception."""
+    out: list[tuple[str, str, str]] = []
+    for line in text.splitlines():
+        tag, sep, val = line.partition(":")
+        if not sep or tag.strip().lower() != "equal":
+            continue
+        a, sep2, b = val.partition("==")
+        a, b = a.strip(), b.strip()
+        if sep2 and a and b:
+            out.append((a, SAME_AS_PRED, b))
+    return out
+
+
 # dialect registry: format id -> pure text->triples function
 PARSERS: dict[str, object] = {
     "text": extract_triples_from_text,
     "json": parse_structured_json,
     "tagvalue": parse_tag_value,
+    "advisory": parse_advisory,
 }
 
 
@@ -202,6 +239,8 @@ def guess_format(text: str) -> str:
     objects, so a leading '{' routes to the json parser; everything
     else is sentence text."""
     head = text.lstrip()
+    if head.startswith("#KGADV"):
+        return "advisory"
     if head.startswith("#KGTV"):
         return "tagvalue"
     return "json" if head[:1] == "{" else "text"

@@ -445,3 +445,56 @@ def test_tombstones_keyed_per_snapshot(spark, alias_df, tmp_path):
     assert ("http://recrawl.test/a", t2) not in triples
     assert tombs == {("http://recrawl.test/a", t2)}, \
         "clean re-crawl snapshot must be tombstoned"
+
+
+def test_advisory_page_merges_components(spark, tmp_path):
+    """Parser-asserted equivalence (the advisory dialect): two
+    surfaces with no shared alias and no lexical similarity merge
+    into ONE component ONLY when a #KGADV document asserting their
+    equality is in the corpus — the VulnEqual/PkgEqual equality
+    ingest (assembler.go:99-103) flowing into connected_components
+    alongside linker edges. No caller-side assertions fixture: the
+    merge evidence is parsed from the document or it doesn't exist."""
+    from datetime import datetime
+    ts = datetime(2024, 1, 1)
+    base = [
+        ("https://x.example.com/a", ts,
+         b"<p>Zorblatt Industries acquired Widget X.</p>", None, "en"),
+        ("https://x.example.com/b", ts,
+         b"<p>Vexcorp Amalgamated acquired Widget Y.</p>", None, "en"),
+    ]
+    adv = [("https://x.example.com/adv", ts,
+            b"#KGADV v1\nequal: Zorblatt Industries == "
+            b"Vexcorp Amalgamated\n", None, "en")]
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    alias = spark.createDataFrame(
+        [("unrelated surface", "ent:guac/unrelated")],
+        "surface string, canonical_key string")
+
+    def canon_of(out):
+        comp = {r.member_key: r.canon_key
+                for r in out["components"].collect()}
+        z = "ent:guac/zorblatt industries"  # the C3 fallback keys
+        v = "ent:guac/vexcorp amalgamated"
+        return comp.get(z, z), comp.get(v, v)
+
+    out_plain = KGPipeline(spark, str(tmp_path / "plain")).run(
+        spark.createDataFrame(base, schema), alias,
+        input_fingerprint="adv-plain")
+    z, v = canon_of(out_plain)
+    assert z != v  # no assertion document -> separate components
+
+    out_adv = KGPipeline(spark, str(tmp_path / "adv")).run(
+        spark.createDataFrame(base + adv, schema), alias,
+        input_fingerprint="adv-merged")
+    z, v = canon_of(out_adv)
+    assert z == v  # the parsed assertion is the ONLY merge evidence
+    # same_as never leaks into the mention-edge stream
+    assert out_adv["triples"].filter(
+        F.col("pred") == "same_as").count() == 0
+    assert out_adv["edges"].filter(
+        F.col("pred") == "same_as").count() == 0
+    # the advisory page yielded output, so it is NOT tombstoned
+    assert out_adv["tombstones"].filter(
+        F.col("url").contains("/adv")).count() == 0

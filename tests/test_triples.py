@@ -177,3 +177,57 @@ def test_tag_value_spark_end_to_end(spark):
         ("https://a.example.com/json", "Widget X", "exports",
          "Berlin", "json"),
     }
+
+
+def test_advisory_dialect_pure():
+    """Fourth registry dialect (the CSAF/OpenVEX analog —
+    parser_csaf.go / parser_open_vex.go emit VulnEqual equality
+    predicates straight from document content): `#KGADV` header,
+    `equal: A == B` lines → (A, same_as, B) triples. Same row-wise
+    skip model as the other dialects: junk lines, missing sides,
+    missing separators yield nothing and never raise."""
+    from guackg.triples import SAME_AS_PRED, guess_format, parse_advisory
+    doc = ("#KGADV v1\n"
+           "title: Equivalence Bulletin\n"
+           "equal: Acme Industries == Acme Corp\n"
+           "junk line\n"
+           "equal: Widget X == The Widget\n"
+           "equal: no separator here\n"
+           "equal: == Missing Left\n"
+           "equal: Missing Right ==\n"
+           "EQUAL: Case Insensitive == Tag Name\n")
+    assert guess_format(doc) == "advisory"
+    assert parse_advisory(doc) == [
+        ("Acme Industries", SAME_AS_PRED, "Acme Corp"),
+        ("Widget X", SAME_AS_PRED, "The Widget"),
+        ("Case Insensitive", SAME_AS_PRED, "Tag Name"),
+    ]
+    assert parse_advisory("#KGADV v1\n") == []
+    # the other discriminator branches are unaffected
+    assert guess_format("#KGTV v1\ns: A\n") == "tagvalue"
+    assert guess_format('{"triples": []}') == "json"
+    assert guess_format("Ada wrote X.") == "text"
+
+
+def test_advisory_spark_end_to_end(spark):
+    """Advisory docs through the REAL ingest path (html → extract →
+    mapInPandas): same_as triples come out stamped with the advisory
+    extractor lineage id."""
+    from datetime import datetime
+
+    from guackg.extract import extract
+    from guackg.triples import (EXTRACTOR_VERSION, SAME_AS_PRED,
+                                extract_triples)
+    ts = datetime(2024, 1, 1)
+    pages = [("https://a.example.com/adv", ts,
+              b"#KGADV v1\nequal: Acme Industries == Acme Corp\n",
+              None, "en")]
+    df = spark.createDataFrame(
+        pages, "url string, warc_ts timestamp, html binary, "
+               "text string, lang string")
+    got = extract_triples(extract(df)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.subj_surface, r.pred, r.obj_surface) == \
+        ("Acme Industries", SAME_AS_PRED, "Acme Corp")
+    assert r.extractor == f"{EXTRACTOR_VERSION}/advisory"
