@@ -229,24 +229,39 @@ def _q_multimodal_metadata(spark, sf_dir):
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    # the driver's canonicalizer sorts column VALUES, so the
-    # array<float> features column is projected to a hashable scalar:
-    # the L1-normalized histogram × body length rounds back to the
-    # EXACT integer bin counts (float32 rel-error ≪ 0.5/count), which
-    # the DuckDB oracle recomputes from hex digits — no float-rounding
-    # boundary cases. pytest (tests/test_multimodal.py) pins the raw
-    # float array form.
-    from guackg.ops.multimodal import as_media_table, decode_media
-    media = as_media_table(_docs(spark, sf_dir))
-    nb = media.select("media_id", (F.length("payload") - 4).alias("nb"))
-    decoded = decode_media(media).join(nb, on="media_id")
+    # REAL image decode: image payloads are spec-valid grayscale PNGs
+    # (guackg/testing/png.py) and decode_media parses the actual
+    # bytes — IHDR dims, inflated filter-0 scanlines. The gate is
+    # two-sided: `ihdr_hex` ships the REAL header bytes
+    # (hex(substring(payload,17,8))) for the oracle to parse
+    # dimensions out of independently, and `width`/`height` are what
+    # the decoder parsed — a wrong writer OR a wrong parser breaks
+    # the hash. The array<float> features column is projected to a
+    # hashable scalar: the L1-normalized histogram × pixel count
+    # (body length for audio/video) rounds back to the EXACT integer
+    # bin counts (float32 rel-error ≪ 0.5/count). pytest
+    # (tests/test_multimodal.py) pins the raw float array form.
+    from guackg.ops.multimodal import (as_media_table, decode_media,
+                                       with_png_payloads)
+    media = with_png_payloads(as_media_table(_docs(spark, sf_dir)))
+    aux = media.select(
+        "media_id",
+        F.when(F.col("kind") == "image",
+               F.hex(F.expr("substring(payload, 17, 8)")))
+        .alias("ihdr_hex"),
+        (F.length("payload") - 4).alias("nb_body"))
+    decoded = decode_media(media).join(aux, on="media_id")
+    denom = F.when(F.col("kind") == "image",
+                   F.col("width") * F.col("height")) \
+        .otherwise(F.col("nb_body"))
     return decoded.select(
         "media_id", "kind", "width", "height", "n_frames",
         F.array_join(
             F.transform("features",
-                        lambda v: F.round(v.cast("double") * F.col("nb"))
+                        lambda v: F.round(v.cast("double") * denom)
                         .cast("bigint").cast("string")), ",")
         .alias("feature_counts"),
+        "ihdr_hex",
     ).orderBy("media_id")
 
 
@@ -887,7 +902,9 @@ def _q_graph_degree_stats(spark, sf_dir):
 
 def _cosupplier_edges(spark, sf_dir, min_orders: int = 6):
     """Strong-tie co-supplier graph: an edge per supplier pair that
-    co-occurs in >= min_orders orders. The weight threshold matters
+    co-occurs in >= min_orders DISTINCT orders (countDistinct on the
+    order key — multiple lineitem combinations within one order count
+    once, matching the stated semantics). The weight threshold matters
     for the analytics queries' cost realism: the RAW co-occurrence
     graph at sf0.1 is a near-clique (1000 suppliers, ~450k of the
     500k possible pairs), and triangle/wedge work on a clique is
@@ -901,7 +918,7 @@ def _cosupplier_edges(spark, sf_dir, min_orders: int = 6):
                      .alias("subj_key"),
                      F.concat(F.lit("s:"), F.col("b.l_suppkey"))
                      .alias("obj_key"))
-            .agg(F.count("*").alias("w"))
+            .agg(F.countDistinct("l_orderkey").alias("w"))
             .filter(F.col("w") >= min_orders)
             .select("subj_key", "obj_key"))
 
@@ -1586,12 +1603,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE 1 = 0
         """,
         "multimodal_decode": r"""
-            -- the DECODE STUB is a pure function of the payload bytes;
-            -- DuckDB recomputes it from hex digits: width/height from
-            -- the first 8/next 8 byte sums, features as the 16-bin
-            -- high-nibble histogram COUNTS (the Spark side multiplies
-            -- the L1-normalized float32 bins back by the body length,
-            -- which rounds to the exact integer counts)
+            -- REAL image decode gate: the oracle derives the EXPECTED
+            -- IHDR bytes (big-endian w,h from the fixture formula),
+            -- then PARSES the dimensions back out of those header
+            -- bytes — Spark must ship both the matching raw header
+            -- hex (from the actual PNG payload) and the same parsed
+            -- dims, so a wrong PNG writer or a wrong IHDR parser
+            -- breaks the hash. Image features are the 16-bin
+            -- high-nibble histogram of the DECODED PIXELS (text bytes
+            -- truncated / zero-padded to w*h — pad bytes land in bin
+            -- 0); audio/video rows keep NULL dims + body histograms.
             WITH media AS (
                 SELECT doc_id AS media_id,
                        CASE doc_id % 3 WHEN 0 THEN 'image'
@@ -1600,31 +1621,60 @@ def oracle_sql() -> dict[str, str]:
                        hex(encode(text)) AS h,
                        octet_length(encode(text)) AS nb
                 FROM documents
-            ), b AS (
-                SELECT media_id, kind, nb,
-                       list_transform(range(0, least(nb, 16)),
+            ), dims AS (
+                SELECT *,
+                       upper(lpad(to_hex(8 + media_id % 24), 8, '0') ||
+                             lpad(to_hex(8 + media_id % 16), 8, '0'))
+                           AS ih
+                FROM media WHERE kind = 'image'
+            ), img AS (
+                -- dimensions PARSED from the 8 header bytes (the 16
+                -- hex digits), not trusted from the formula
+                SELECT media_id, kind, h, nb, ih,
+                       list_sum(list_transform(range(0, 8),
                            i -> (strpos('0123456789ABCDEF',
-                                        substr(h, (2*i+1)::INT, 1)) - 1) * 16
-                                + strpos('0123456789ABCDEF',
-                                         substr(h, (2*i+2)::INT, 1)) - 1)
-                           AS head,
-                       list_transform(range(0, nb),
-                           i -> substr(h, (2*i+1)::INT, 1)) AS hi
-                FROM media
+                                        substr(ih, (i+1)::INT, 1)) - 1)
+                                * 16 ** (7 - i)))::INT AS pw,
+                       list_sum(list_transform(range(0, 8),
+                           i -> (strpos('0123456789ABCDEF',
+                                        substr(ih, (i+9)::INT, 1)) - 1)
+                                * 16 ** (7 - i)))::INT AS ph
+                FROM dims
+            ), img_rows AS (
+                SELECT media_id, kind, pw AS width, ph AS height,
+                       1 AS n_frames,
+                       array_to_string(list_transform(range(0, 16),
+                           v -> (len(list_filter(
+                                   list_transform(
+                                       range(0, least(nb, pw * ph)),
+                                       i -> substr(h, (2*i+1)::INT, 1)),
+                                   x -> strpos('0123456789ABCDEF', x)
+                                        - 1 = v))
+                                 + CASE WHEN v = 0
+                                        THEN greatest(0, pw * ph - nb)
+                                        ELSE 0 END)::VARCHAR), ',')
+                           AS feature_counts,
+                       ih AS ihdr_hex
+                FROM img
+            ), av_rows AS (
+                SELECT media_id, kind, NULL::INT AS width,
+                       NULL::INT AS height,
+                       (CASE WHEN kind = 'video'
+                             THEN greatest(1, nb // 256)
+                             ELSE 1 END)::INT AS n_frames,
+                       array_to_string(list_transform(range(0, 16),
+                           v -> (len(list_filter(
+                                   list_transform(range(0, nb),
+                                       i -> substr(h, (2*i+1)::INT, 1)),
+                                   x -> strpos('0123456789ABCDEF', x)
+                                        - 1 = v)))::VARCHAR), ',')
+                           AS feature_counts,
+                       NULL::VARCHAR AS ihdr_hex
+                FROM media WHERE kind <> 'image'
             )
-            SELECT media_id, kind,
-                   (16 + (coalesce(list_sum(head[1:8]), 0) % 48))::INT
-                       AS width,
-                   (CASE WHEN nb >= 16
-                         THEN 16 + (list_sum(head[9:16]) % 48)
-                         ELSE 16 END)::INT AS height,
-                   (CASE WHEN kind = 'video' THEN greatest(1, nb // 256)
-                         ELSE 1 END)::INT AS n_frames,
-                   array_to_string(list_transform(range(0, 16),
-                       v -> (len(list_filter(hi,
-                           x -> strpos('0123456789ABCDEF', x) - 1 = v))
-                           )::VARCHAR), ',') AS feature_counts
-            FROM b ORDER BY media_id
+            SELECT * FROM img_rows
+            UNION ALL SELECT * FROM av_rows
+            ORDER BY media_id
         """,
         "multimodal_frames": """
             -- frame = fixed-stride 64-byte chunk of the body, every

@@ -1,9 +1,12 @@
 """Multimodal binary-column plumbing + embedding near-dup operators.
 
-The decode step is a documented DECODE STUB (no PIL/ffmpeg in this
-container) — what these tests pin is the real Spark-side contract:
-schemas, Arrow batch dataflow, determinism as a pure function of the
-payload bytes, and the 1→N frame-sampling shape."""
+Image decode is REAL: fixtures carry spec-valid grayscale PNGs
+(guackg/testing/png.py, stdlib zlib/struct) and decode_media parses
+the actual bytes — signature, IHDR dims, inflated filter-0 scanlines.
+Audio/video have no codec in this container, so their rows are pinned
+to NULL dims + content byte-histogram features (an honest signal, not
+a pretend decode). These tests pin that contract plus the Spark-side
+plumbing: schemas, Arrow batch dataflow, determinism, 1→N frames."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -22,6 +25,12 @@ def media(docs):
     return as_media_table(docs)
 
 
+@pytest.fixture(scope="module")
+def png_media(media):
+    from guackg.ops.multimodal import with_png_payloads
+    return with_png_payloads(media)
+
+
 def test_media_metadata_matches_payload(media):
     from guackg.ops.multimodal import media_metadata
     meta = media_metadata(media)
@@ -34,19 +43,50 @@ def test_media_metadata_matches_payload(media):
         assert len(r.payload_sha256) == 64
 
 
-def test_decode_media_deterministic_and_shaped(media):
-    from guackg.ops.multimodal import decode_media
-    d1 = decode_media(media).orderBy("media_id").collect()
-    d2 = decode_media(media).orderBy("media_id").collect()
+def test_decode_media_deterministic_and_shaped(png_media):
+    from guackg.ops.multimodal import decode_media, png_dims_for
+    d1 = decode_media(png_media).orderBy("media_id").collect()
+    d2 = decode_media(png_media).orderBy("media_id").collect()
     assert d1 == d2  # pure function of bytes
+    n_images = 0
     for r in d1:
-        assert 16 <= r.width < 64 and 16 <= r.height < 64
-        assert len(r.features) == 16
-        assert abs(sum(r.features) - 1.0) < 1e-3  # L1-normalized histogram
-        if r.kind != "video":
+        if r.kind == "image":
+            n_images += 1
+            w, h = png_dims_for(r.media_id)
+            # dims parsed from the ACTUAL IHDR bytes
+            assert (r.width, r.height) == (w, h)
             assert r.n_frames == 1
         else:
-            assert r.n_frames >= 1
+            assert r.width is None and r.height is None
+            assert r.n_frames == (1 if r.kind == "audio" else r.n_frames)
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-3  # L1-normalized histogram
+    assert n_images > 0
+
+
+def test_png_roundtrip_and_quarantine(spark):
+    """encode_png → parse_png recovers exact dims and pixel bytes;
+    malformed image payloads quarantine (NULL dims) instead of
+    killing the Arrow task."""
+    import numpy as np
+    from guackg.ops.multimodal import decode_media, parse_png
+    from guackg.testing.png import encode_png
+    payload = encode_png(13, 7, b"hello png pixels " * 20)
+    w, h, px = parse_png(payload)
+    assert (w, h) == (13, 7) and px.size == 13 * 7
+    expect = (b"hello png pixels " * 20)[: 13 * 7]
+    assert bytes(px.tobytes()) == expect
+    media = spark.createDataFrame(
+        [(1, "image", payload), (2, "image", b"IMG0 not a png"),
+         (3, "image", None)],
+        "media_id long, kind string, payload binary")
+    dec = {r.media_id: r for r in decode_media(media).collect()}
+    assert (dec[1].width, dec[1].height) == (13, 7)
+    hist = np.bincount(np.frombuffer(expect, np.uint8) >> 4, minlength=16)
+    got = [round(f * px.size) for f in dec[1].features]
+    assert got == hist.tolist()
+    for bad in (2, 3):
+        assert dec[bad].width is None and dec[bad].features is None
 
 
 def test_sample_frames_only_video_and_stride(media):
@@ -115,6 +155,7 @@ def test_decode_and_frames_tolerate_null_payload(spark):
         "media_id long, kind string, payload binary")
     dec = {r.media_id: r for r in decode_media(media).collect()}
     assert set(dec) == {1, 2, 3}
-    assert dec[1].width == 16 and dec[1].n_frames == 1
+    assert dec[1].width is None and dec[1].n_frames is None  # quarantined
+    assert dec[2].n_frames == 1 and dec[2].width is None
     frames = sample_frames(media).collect()
     assert frames and all(r.media_id == 3 for r in frames)
