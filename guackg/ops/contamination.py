@@ -9,12 +9,15 @@ set before admitting a document (/root/reference/pkg/ingestor/parser/
 parser.go:160-188); here the "known set" is the benchmark's n-gram
 inventory and the consult is a broadcast join.
 
-Scale shape: the benchmark side is an eval set — thousands of docs,
-~10^6-10^7 distinct grams — so its distinct-gram inventory broadcasts
-and the corpus side streams through a broadcast hash join keyed by
-doc_id afterwards; nothing shuffles on corpus size except the final
-per-doc count aggregation, which is map-side combinable. All built-in
-expressions, no Python.
+Scale shape: the benchmark side is normally an eval set — thousands
+of docs — so its distinct-gram inventory broadcasts and the corpus
+side streams through a broadcast hash join; nothing shuffles on
+corpus size except the final per-doc count aggregation, which is
+map-side combinable. The broadcast is DECIDED BY MEASUREMENT, not
+trusted from the caller: the inventory is exact-counted and only
+broadcasts at or below BROADCAST_MAX_GRAMS (the pipeline's
+page-map count-then-decide rule), else the join shuffles under AQE.
+All built-in expressions, no Python.
 """
 
 from __future__ import annotations
@@ -23,6 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_N = 13  # the published decontamination gram length
+
+# measured-broadcast bound: an n-gram row is a ~100-byte string, so
+# 2M grams ≈ 200 MB on the driver — the same exact-count-then-decide
+# rule the pipeline applies to its page map (pipeline.py /
+# materialize.page_map_fits_broadcast), here for the benchmark
+# inventory. Above it the join falls back to a shuffle and AQE picks
+# the physical strategy.
+BROADCAST_MAX_GRAMS = 2_000_000
 
 
 def _distinct_grams(n: int) -> F.Column:
@@ -47,20 +58,28 @@ def ngram_inventory(docs: DataFrame, n: int = DEFAULT_N,
 
 def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
                           n: int = DEFAULT_N, text_col: str = "text",
-                          broadcast_benchmark: bool = True) -> DataFrame:
+                          broadcast_benchmark: bool | None = None
+                          ) -> DataFrame:
     """Per-corpus-document overlap with the benchmark's n-gram set:
     (doc_id, n_grams, matched_grams, contamination_frac), one row per
     corpus doc. `n_grams` counts the doc's DISTINCT grams (the frac
     denominator); `matched_grams` counts how many of those appear
     anywhere in the benchmark; docs with < n words report (0, 0, 0.0).
 
-    broadcast_benchmark=True (default) hints the benchmark inventory
-    for a broadcast hash join — correct whenever the benchmark is an
-    eval set (≤ ~10^7 grams). Set False to let AQE pick (shuffle join)
-    when decontaminating against a benchmark-sized-like-a-corpus.
-    Exact DuckDB-parity oracle in tests/test_contamination.py."""
+    broadcast_benchmark=None (default) DECIDES BY MEASURING: the
+    inventory is materialized once (localCheckpoint, reused by the
+    join) and exact-counted; at or below BROADCAST_MAX_GRAMS it
+    broadcasts, above it the join shuffles and AQE picks the
+    strategy — a caller-supplied "benchmark" the size of a corpus
+    (10^7+ long 13-gram strings, a multi-hundred-MB broadcast) can
+    no longer flatten the driver by default. True/False force either
+    path (the plan-flip unit test pins both). Exact DuckDB-parity
+    oracle in tests/test_contamination.py."""
     from guackg.ops.textstats import words_col
     inv = ngram_inventory(benchmark, n, text_col)
+    if broadcast_benchmark is None:
+        inv = inv.localCheckpoint()
+        broadcast_benchmark = inv.count() <= BROADCAST_MAX_GRAMS
     if broadcast_benchmark:
         inv = F.broadcast(inv)
     base = (corpus
@@ -90,7 +109,7 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   n: int = DEFAULT_N, max_frac: float = 0.0,
                   text_col: str = "text",
-                  broadcast_benchmark: bool = True) -> DataFrame:
+                  broadcast_benchmark: bool | None = None) -> DataFrame:
     """Corpus rows whose contamination_frac ≤ max_frac (default:
     drop any doc sharing even one n-gram with the benchmark — the
     published strict rule). Returns the corpus columns plus the

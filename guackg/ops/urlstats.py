@@ -77,12 +77,72 @@ def registered_domain_col(url_col: str = "url") -> F.Column:
     return _domain_of_host(host_col(url_col))
 
 
+# the full-PSL deploy shape: suffixes up to this many labels are
+# candidate-matched (the public suffix list's longest rules are 4-5
+# labels; 4 covers all but a handful of exotic entries)
+PSL_MAX_LABELS = 4
+
+
+def with_registered_domain(df: DataFrame, url_col: str = "url",
+                           psl: DataFrame | None = None,
+                           out: str = "domain") -> DataFrame:
+    """Attach the registered-domain column, by either identity rule:
+
+    - psl=None — the inline SECOND_LEVEL_SUFFIXES heuristic
+      (registered_domain_col), zero joins.
+    - psl=DataFrame(suffix) — the documented deploy shape: the full
+      public-suffix list as a BROADCAST table, longest-suffix match
+      at domain-extraction time. Implemented as PSL_MAX_LABELS
+      chained broadcast left joins (one per candidate suffix length,
+      k labels each) + a lazy CASE that picks the longest hit —
+      no explode, no extra shuffle, plans as k broadcast hash joins
+      over one shared broadcast. No match falls back to the
+      classic last-two-label rule, IPv4 literals and one-label hosts
+      are themselves, '' is NULL — identical conventions to the
+      inline path, so table == inline wherever the subset suffices
+      (pinned by tests/test_urlstats.py). Wildcard (`*.ck`) and
+      exception (`!www.ck`) PSL rules are out of scope — feed the
+      expanded concrete rows instead."""
+    if psl is None:
+        return df.withColumn(out, registered_domain_col(url_col))
+    b = F.broadcast(psl.select(_canon_host(F.col("suffix"))
+                               .alias("_sfx")).dropDuplicates())
+    h = F.nullif(host_col(url_col), F.lit(""))
+    d = df.withColumn("_h", h)
+    parts = F.split(F.col("_h"), r"\.")
+    np = F.size(parts)
+
+    def last_k(k: int) -> F.Column:
+        return F.concat_ws(".", *[F.element_at(parts, -i)
+                                  for i in range(k, 0, -1)])
+
+    ks = range(PSL_MAX_LABELS, 0, -1)  # longest first
+    for k in ks:
+        d = d.withColumn(f"_c{k}", F.when(np >= k, last_k(k)))
+        d = d.join(b.withColumnRenamed("_sfx", f"_m{k}"),
+                   F.col(f"_c{k}") == F.col(f"_m{k}"), "left")
+    dom = F.when(F.col("_h").isNull(), F.lit(None).cast("string")) \
+        .when(F.col("_h").rlike(_IPV4_RE), F.col("_h"))
+    for k in ks:
+        dom = dom.when(
+            F.col(f"_m{k}").isNotNull(),
+            F.when(np > k, last_k(k + 1)).otherwise(F.col("_h")))
+    dom = dom.otherwise(
+        F.when(np <= 2, F.col("_h")).otherwise(last_k(2)))
+    out_df = d.withColumn(out, dom)
+    return out_df.drop("_h", *[c for k in ks
+                               for c in (f"_c{k}", f"_m{k}")])
+
+
 def domain_page_stats(pages: DataFrame, url_col: str = "url",
-                      by: str = "domain") -> DataFrame:
+                      by: str = "domain",
+                      psl: DataFrame | None = None) -> DataFrame:
     """Per-site rollup: (domain, n_pages, n_urls), grouped by the
-    registered domain (`by="domain"`, the curation unit) or the full
-    host (`by="host"`, the subdomain granularity — what the synthetic
-    corpus's Zipf skew lives at).
+    registered domain (`by="domain"`, the curation unit; pass
+    `psl=` for full-public-suffix-list identity — see
+    with_registered_domain) or the full host (`by="host"`, the
+    subdomain granularity — what the synthetic corpus's Zipf skew
+    lives at).
 
     ONE corpus scan, no join: the first aggregation groups by
     (domain, url-derived salt) computing the partial count and the
@@ -95,9 +155,13 @@ def domain_page_stats(pages: DataFrame, url_col: str = "url",
     ≤ n_buckets rows per domain (SURVEY §4.1)."""
     if by not in ("domain", "host"):
         raise ValueError(f"by must be 'domain' or 'host', got {by!r}")
-    key = (registered_domain_col(url_col) if by == "domain"
-           else F.nullif(host_col(url_col), F.lit("")))
-    d = pages.select(key.alias("domain"), F.col(url_col).alias("_u"))
+    if by == "domain":
+        d = with_registered_domain(pages, url_col, psl) \
+            .select("domain", F.col(url_col).alias("_u"))
+    else:
+        d = pages.select(
+            F.nullif(host_col(url_col), F.lit("")).alias("domain"),
+            F.col(url_col).alias("_u"))
     salt = F.pmod(F.xxhash64(F.col("_u")), F.lit(16))
     per_bucket = (d.groupBy("domain", salt.alias("_salt"))
                   .agg(F.count("*").alias("_n"),
@@ -108,7 +172,8 @@ def domain_page_stats(pages: DataFrame, url_col: str = "url",
 
 
 def domain_blocklist_filter(pages: DataFrame, blocked: DataFrame,
-                            url_col: str = "url") -> DataFrame:
+                            url_col: str = "url",
+                            psl: DataFrame | None = None) -> DataFrame:
     """Drop pages matching `blocked(domain)` — the C4-style badlist
     gate. Entries are matched at BOTH granularities so host-level
     lines in real badlists ('ads.tracker.co.uk') do something instead
@@ -121,9 +186,8 @@ def domain_blocklist_filter(pages: DataFrame, blocked: DataFrame,
     b = F.broadcast(
         blocked.select(_canon_host(F.col("domain")).alias("_b"))
         .dropDuplicates())
-    out = (pages
+    out = (with_registered_domain(pages, url_col, psl, out="_dom")
            .withColumn("_host", F.nullif(host_col(url_col), F.lit("")))
-           .withColumn("_dom", registered_domain_col(url_col))
            .join(b, F.col("_host") == F.col("_b"), "left_anti")
            .join(b, F.col("_dom") == F.col("_b"), "left_anti"))
     return out.drop("_host", "_dom")

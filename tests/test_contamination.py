@@ -139,6 +139,34 @@ def test_broadcast_plan(crafted):
     assert "BatchEvalPython" not in s
 
 
+def test_broadcast_decision_is_measured(crafted, monkeypatch):
+    """broadcast_benchmark=None (default) measures the inventory and
+    flips the plan at BROADCAST_MAX_GRAMS: a tiny bench broadcasts,
+    but with the bound forced to 0 the SAME call shuffles instead —
+    a corpus-sized 'benchmark' can no longer flatten the driver by
+    default. Results are identical either way."""
+    corpus, bench = _split(crafted)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    under = C.contamination_overlap(corpus, bench, n=3)
+    assert "BroadcastHashJoin" in plan(under)
+    monkeypatch.setattr(C, "BROADCAST_MAX_GRAMS", 0)
+    over = C.contamination_overlap(corpus, bench, n=3)
+    # the gram join (the benchmark side) must NOT broadcast when the
+    # measured inventory exceeds the bound; AQE may still broadcast
+    # the tiny per-doc rollup join, so pin the gram join by checking
+    # the pre-AQE (spark) plan of the join stage
+    assert "BroadcastHashJoin" not in over._jdf.queryExecution()\
+        .sparkPlan().toString()
+    a = {(r.doc_id, r.n_grams, r.matched_grams)
+         for r in under.collect()}
+    b = {(r.doc_id, r.n_grams, r.matched_grams)
+         for r in over.collect()}
+    assert a == b
+
+
 def test_clean_corpus_contamination_gate(spark, crafted):
     """The decontamination gate composes into clean_corpus: the
     contaminated doc exits at 'contaminated', every other audit row

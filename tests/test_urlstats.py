@@ -148,3 +148,66 @@ def test_domain_page_stats_host_granularity(spark, urls_df, pages_df):
     # by host: the host rollup must spread
     hosts = domain_page_stats(pages_df, by="host")
     assert hosts.count() > 10
+
+
+def test_psl_table_matches_inline_on_subset(spark, urls_df):
+    """The deploy shape (full PSL as a broadcast table joined at
+    domain-extraction time) behind the same API: with a PSL table
+    containing exactly the inline SECOND_LEVEL_SUFFIXES, table-driven
+    and inline registered domains are identical on every fixture URL
+    (including IPv4, FQDN-dot, non-URL, and NULL rows)."""
+    from guackg.ops.urlstats import (SECOND_LEVEL_SUFFIXES,
+                                     with_registered_domain)
+    psl = spark.createDataFrame(
+        [(s,) for s in SECOND_LEVEL_SUFFIXES], "suffix string")
+    inline = {r.id: r.domain
+              for r in with_registered_domain(urls_df).collect()}
+    table = {r.id: r.domain
+             for r in with_registered_domain(urls_df, psl=psl)
+             .collect()}
+    assert table == inline
+    # the PSL join path stays broadcast-only, no Python
+    plan = with_registered_domain(urls_df, psl=psl) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_psl_table_fixes_suffixes_the_subset_misses(spark):
+    """co.il is not in the inline 18-suffix subset, so the heuristic
+    wrongly reports the SUFFIX as the site ('co.il'); the PSL table
+    with the co.il rule returns the true registered domain. A 4-label
+    rule exercises the longest-match-first order, and both rollup and
+    blocklist honor the psl= identity."""
+    from guackg.ops.urlstats import (domain_blocklist_filter,
+                                     domain_page_stats,
+                                     with_registered_domain)
+    urls = spark.createDataFrame(
+        [(1, "https://news.walla.co.il/item/1"),
+         (2, "https://shop.example.co.il/x"),
+         (3, "https://x.y.pref.aichi.jp/z"),   # 4-label PSL rule
+         (4, "https://plain.com/ok")],
+        "id long, url string")
+    psl = spark.createDataFrame(
+        [("co.il",), ("pref.aichi.jp",), ("y.pref.aichi.jp",)],
+        "suffix string")
+    inline = {r.id: r.domain
+              for r in with_registered_domain(urls).collect()}
+    table = {r.id: r.domain
+             for r in with_registered_domain(urls, psl=psl).collect()}
+    assert inline[1] == "co.il"            # the subset gets it wrong
+    assert table[1] == "walla.co.il"       # the table gets it right
+    assert table[2] == "example.co.il"
+    assert inline[3] == "aichi.jp"
+    assert table[3] == "x.y.pref.aichi.jp"  # longest rule wins
+    assert table[4] == inline[4] == "plain.com"
+    # rollup groups by the PSL identity
+    stats = {r.domain: r.n_pages
+             for r in domain_page_stats(urls, psl=psl).collect()}
+    assert stats["walla.co.il"] == 1 and "co.il" not in stats
+    # whole-site block at the PSL-registered domain granularity
+    blocked = spark.createDataFrame([("walla.co.il",)],
+                                    "domain string")
+    kept = {r.id for r in
+            domain_blocklist_filter(urls, blocked, psl=psl).collect()}
+    assert kept == {2, 3, 4}
