@@ -311,6 +311,198 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     return within.unionByName(cross)
 
 
+def _sig_col(n_hashes: int) -> F.Column:
+    """MinHash signature of the `ws` word array — the SAME derivation
+    minhash_lsh_pairs uses (one xxhash64 per word, permutations via
+    xxhash64(h, j)), shared so stored and fresh signatures agree."""
+    return F.expr(
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"j -> array_min(transform(transform(ws, w -> xxhash64(w)), "
+        f"h -> xxhash64(h, j))))")
+
+
+def _band_col(n_hashes: int, rows_per_band: int,
+              n_bands: int) -> F.Column:
+    """Banded slice hashes of a `sig` column (shared by fresh and
+    stored paths — bands are a cheap pure function of the signature,
+    so the state table stores only `sig`)."""
+    return F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 F.xxhash64(*[F.expr(f"sig[{b * rows_per_band + r}]")
+                              for r in range(rows_per_band)])
+                 .alias("band_hash"))
+        for b in range(n_bands)])
+
+
+def minhash_state(docs: DataFrame, text_col: str = "text",
+                  n_hashes: int = 32) -> DataFrame:
+    """The PERSISTED near-dup corpus state — (doc_id, fp1, fp2, sig,
+    ws), one row per doc; `sig`/`ws` non-null only on each exact-dup
+    group's representative (min doc_id), so the store carries ONE
+    signature + word set per distinct word set, not per doc. Written
+    into the workdir at ingest (write_minhash_state) and read back by
+    minhash_lsh_pairs_stored, which then computes signatures for the
+    NEW batch only — the stored-signature seam minhash_lsh_pairs'
+    docstring names. n_hashes must match between writer and reader
+    (the signature length is the contract)."""
+    wsd = (docs.select("doc_id",
+                       F.array_sort(_word_set(text_col)).alias("ws"))
+           .filter(F.col("ws").isNotNull())
+           .withColumn("fp1", F.xxhash64("ws"))
+           .withColumn("fp2", F.xxhash64(F.lit(0x9E37), "ws")))
+    # sig computed on the rep rows only (the O(distinct) heavy tier)
+    reps = (wsd.groupBy("fp1", "fp2")
+            .agg(F.min("doc_id").alias("rep_id"),
+                 F.expr("min_by(ws, doc_id)").alias("ws"))
+            .withColumn("sig", _sig_col(n_hashes))
+            .select("fp1", "fp2", "rep_id", "sig", "ws"))
+    return (wsd.select("doc_id", "fp1", "fp2")
+            .join(reps, on=["fp1", "fp2"], how="left")
+            .select("doc_id", "fp1", "fp2",
+                    F.when(F.col("doc_id") == F.col("rep_id"),
+                           F.col("sig")).alias("sig"),
+                    F.when(F.col("doc_id") == F.col("rep_id"),
+                           F.col("ws")).alias("ws")))
+
+
+def write_minhash_state(docs: DataFrame, path: str,
+                        text_col: str = "text",
+                        n_hashes: int = 32) -> None:
+    """Materialize the near-dup state table at ingest (parquet,
+    append): batch 1 writes the corpus state, every later batch
+    appends the delta minhash_lsh_pairs_stored returns."""
+    minhash_state(docs, text_col, n_hashes).write.mode(
+        "append").parquet(path)
+
+
+def minhash_lsh_pairs_stored(new_docs: DataFrame, state: DataFrame,
+                             text_col: str = "text",
+                             n_hashes: int = 32,
+                             n_bands: int | None = None,
+                             threshold: float = 0.5
+                             ) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash-LSH against a PERSISTED corpus: exactly
+    `minhash_lsh_pairs(old ∪ new, new_ids=new)` (same seeds, same
+    banding, same 3σ prefilter, same exact-Jaccard verify) — but the
+    old side comes entirely from the stored state, so the batch never
+    touches old TEXT and the expensive tiers (tokenize, word-hash,
+    signature) run on the NEW docs only:
+
+    - new docs' word sets/fingerprints: O(batch) heavy work;
+    - signatures: computed ONLY for word sets the store has never
+      seen (anti-join on the group fingerprint);
+    - banding of stored groups: a narrow scan of stored `sig` longs
+      (16 xxhash64 per group — the unavoidable O(store) probe, no
+      shuffle of the store: the band join's other side is the new
+      batch);
+    - candidate pruning, prefilter, verify: new-touching pairs only.
+
+    Returns (pairs, delta_state). `pairs` is the new-touching pair
+    set; `delta_state` is the new docs' state rows (sig/ws on new
+    groups' reps only) — append it to the store
+    (write_minhash_state's layout) to make the NEXT batch
+    incremental too. Assumes batch doc_ids are disjoint from stored
+    ones (the ingest invariant). Exactness vs the one-shot op is
+    pinned by tests/test_textclean.py."""
+    if n_bands is None:
+        rows_per_band, n_bands = _banding_for(n_hashes, threshold)
+    else:
+        rows_per_band = n_hashes // n_bands
+    new_wsd = (new_docs
+               .select("doc_id",
+                       F.array_sort(_word_set(text_col)).alias("ws"))
+               .filter(F.col("ws").isNotNull())
+               .withColumn("fp1", F.xxhash64("ws"))
+               .withColumn("fp2", F.xxhash64(F.lit(0x9E37), "ws"))
+               .localCheckpoint())
+    old_members = state.select("doc_id", "fp1", "fp2")
+    old_sigs = (state.filter(F.col("sig").isNotNull())
+                .select("fp1", "fp2", "sig", "ws"))
+    # groups born in this batch: never seen by the store → the ONLY
+    # signature computation of the run
+    new_group_reps = (new_wsd.groupBy("fp1", "fp2")
+                      .agg(F.min("doc_id").alias("rep_id"),
+                           F.expr("min_by(ws, doc_id)").alias("ws"))
+                      .join(old_sigs.select("fp1", "fp2"),
+                            on=["fp1", "fp2"], how="left_anti")
+                      .withColumn("sig", _sig_col(n_hashes)))
+    group_sigs = old_sigs.unionByName(
+        new_group_reps.select("fp1", "fp2", "sig", "ws"))
+    banded = (group_sigs
+              .withColumn("band",
+                          F.explode(_band_col(n_hashes, rows_per_band,
+                                              n_bands)))
+              .select(F.struct("fp1", "fp2").alias("g"),
+                      F.col("band.band_id").alias("band_id"),
+                      F.col("band.band_hash").alias("band_hash")))
+    g_new = (new_wsd.select(F.struct("fp1", "fp2").alias("g"))
+             .distinct())
+    # one join side is new-group bands only — old-old pairs can never
+    # form; both-new pairs arrive twice and canonicalize away
+    a = banded.join(g_new, on="g").alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, on=["band_id", "band_hash"])
+            .filter(F.col("a.g") != F.col("b.g"))
+            .select(F.least(F.col("a.g"), F.col("b.g")).alias("g1"),
+                    F.greatest(F.col("a.g"), F.col("b.g")).alias("g2"))
+            .dropDuplicates(["g1", "g2"]))
+    gs = group_sigs.select(F.struct("fp1", "fp2").alias("g"),
+                           "sig", "ws")
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / cast({n_hashes} as double)")
+    margin = 3.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
+    jac = F.size(F.array_intersect("ws_a", "ws_b")) / \
+        F.size(F.array_union("ws_a", "ws_b"))
+    gpairs = (cand
+              .join(gs.select(F.col("g").alias("g1"),
+                              F.col("sig").alias("sig_a"),
+                              F.col("ws").alias("ws_a")), on="g1")
+              .join(gs.select(F.col("g").alias("g2"),
+                              F.col("sig").alias("sig_b"),
+                              F.col("ws").alias("ws_b")), on="g2")
+              .filter(est >= threshold - margin)
+              .withColumn("jaccard", F.round(jac, 6))
+              .filter(F.col("jaccard") >= threshold)
+              .select("g1", "g2", "jaccard"))
+    members = (old_members.withColumn("is_new", F.lit(False))
+               .unionByName(new_wsd.select("doc_id", "fp1", "fp2")
+                            .withColumn("is_new", F.lit(True)))
+               .select(F.struct("fp1", "fp2").alias("g"),
+                       "doc_id", "is_new"))
+    ma, mb = members.alias("ma"), members.alias("mb")
+    within = (ma.join(mb, on="g")
+              .filter((F.col("ma.doc_id") < F.col("mb.doc_id"))
+                      & (F.col("ma.is_new") | F.col("mb.is_new")))
+              .select(F.col("ma.doc_id").alias("doc_a"),
+                      F.col("mb.doc_id").alias("doc_b"),
+                      F.lit(1.0).alias("jaccard")))
+    cross = (gpairs
+             .join(members.select(F.col("g").alias("g1"),
+                                  F.col("doc_id").alias("mem_a"),
+                                  F.col("is_new").alias("_new_a")),
+                   on="g1")
+             .join(members.select(F.col("g").alias("g2"),
+                                  F.col("doc_id").alias("mem_b"),
+                                  F.col("is_new").alias("_new_b")),
+                   on="g2")
+             .filter(F.col("_new_a") | F.col("_new_b"))
+             .select(F.least("mem_a", "mem_b").alias("doc_a"),
+                     F.greatest("mem_a", "mem_b").alias("doc_b"),
+                     "jaccard"))
+    pairs = within.unionByName(cross)
+    delta = (new_wsd.select("doc_id", "fp1", "fp2")
+             .join(new_group_reps.select("fp1", "fp2", "rep_id",
+                                         "sig", "ws"),
+                   on=["fp1", "fp2"], how="left")
+             .select("doc_id", "fp1", "fp2",
+                     F.when(F.col("doc_id") == F.col("rep_id"),
+                            F.col("sig")).alias("sig"),
+                     F.when(F.col("doc_id") == F.col("rep_id"),
+                            F.col("ws")).alias("ws")))
+    return pairs, delta
+
+
 def winnow_near_pairs(docs: DataFrame, text_col: str = "text",
                       min_shared: int = 5,
                       min_overlap: float = 0.0) -> DataFrame:

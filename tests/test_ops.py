@@ -360,3 +360,47 @@ def test_clean_corpus_stages_and_determinism(spark):
     stats = {r.stage: r.n_docs
              for r in clean_corpus_stats(clean_corpus(docs)).collect()}
     assert stats["kept"] == 1 and sum(stats.values()) == 6
+
+
+def test_minhash_stored_state_equals_full_restricted(docs, tmp_path):
+    """The PERSISTED incremental path: batch 1 writes the signature
+    state into the workdir at ingest; batch 2 dedups against the
+    STORE ONLY — it is never shown the old docs (no old text, no old
+    recompute: the O(batch) proof is structural) — and must produce
+    exactly the one-shot run restricted to new-touching pairs. The
+    returned delta appends cleanly: a third batch against
+    state ∪ delta is exact too."""
+    from guackg.ops.dedup import (minhash_lsh_pairs,
+                                  minhash_lsh_pairs_stored,
+                                  write_minhash_state)
+    spark = docs.sparkSession
+    old = docs.filter("doc_id % 5 <> 0")
+    new = docs.filter("doc_id % 5 = 0 and doc_id % 10 <> 0")
+    new3 = docs.filter("doc_id % 10 = 0")
+    path = str(tmp_path / "minhash_state")
+    write_minhash_state(old, path)
+
+    state = spark.read.parquet(path)
+    pairs, delta = minhash_lsh_pairs_stored(new, state, threshold=0.5)
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()}
+    corpus2 = old.unionByName(new)
+    want = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_lsh_pairs(corpus2, threshold=0.5,
+                                       new_ids=new.select("doc_id"))
+            .collect()}
+    assert got == want and len(want) > 0
+
+    # append the delta (the ingest shape) and run a third batch
+    delta.write.mode("append").parquet(path)
+    state2 = spark.read.parquet(path)
+    assert state2.count() == corpus2.count()
+    # exactly one stored signature per distinct word set
+    assert state2.filter("sig is not null").count() == \
+        state2.select("fp1", "fp2").distinct().count()
+    pairs3, _ = minhash_lsh_pairs_stored(new3, state2, threshold=0.5)
+    got3 = {(r.doc_a, r.doc_b, r.jaccard) for r in pairs3.collect()}
+    want3 = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in minhash_lsh_pairs(docs, threshold=0.5,
+                                        new_ids=new3.select("doc_id"))
+             .collect()}
+    assert got3 == want3 and len(want3) > 0
