@@ -789,7 +789,11 @@ def _q_kg_connected_components(spark, sf_dir):
     (large-star/small-star; driver union-find below the broadcast-ish
     threshold) over an equivalence graph synthesized from customer
     keys — star groups of 10 custkeys plus deterministic bridges that
-    merge runs of consecutive groups. The component structure is pure
+    merge runs of consecutive groups. Bridges come from TWO sources:
+    direct key edges (g%7==3) and parser-asserted equality (g%7==5),
+    where the merge evidence exists only as #KGADV advisory documents
+    run through the real dialect registry (the VulnEqual equality
+    ingest, assembler.go:99-103). The component structure is pure
     arithmetic (segments of group indices), so the oracle computes
     membership and the lexicographic-min canon without recursion."""
     from guackg.cc import connected_components
@@ -807,7 +811,31 @@ def _q_kg_connected_components(spark, sf_dir):
                      .alias("key_a"),
                      F.concat(F.lit("c:"), F.col("c_custkey") - 10)
                      .alias("key_b")))
-    comps = connected_components(intra.unionByName(inter))
+    # PARSER-ASSERTED bridges (g%7==5): these merges exist ONLY as
+    # #KGADV advisory documents run through the REAL dialect registry
+    # (extract_triples -> parse_advisory -> same_as triples) — the
+    # VulnEqual/PkgEqual equality-ingest path feeding CC; the DuckDB
+    # oracle recomputes the resulting membership arithmetically
+    from guackg.triples import SAME_AS_PRED, extract_triples
+    adv_pages = (c.filter((F.col("c_custkey") % 10 == 0)
+                          & (F.col("c_custkey") >= 10)
+                          & (g % 7 == 5))
+                 .select(F.concat(F.lit("adv://"), F.col("c_custkey"))
+                         .alias("url"),
+                         F.lit("2024-01-01").cast("timestamp")
+                         .alias("warc_ts"),
+                         F.concat(F.lit("#KGADV v1\nequal: c:"),
+                                  F.col("c_custkey"),
+                                  F.lit(" == c:"),
+                                  F.col("c_custkey") - 10)
+                         .alias("extracted_text"),
+                         F.lit("en").alias("lang")))
+    adv = (extract_triples(adv_pages)
+           .filter(F.col("pred") == SAME_AS_PRED)
+           .select(F.col("subj_surface").alias("key_a"),
+                   F.col("obj_surface").alias("key_b")))
+    comps = connected_components(
+        intra.unionByName(inter).unionByName(adv))
     return comps.select("member_key", "canon_key").orderBy("member_key")
 
 
@@ -1515,10 +1543,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_connected_components": """
             -- component structure is arithmetic: star groups of 10
             -- custkeys; group g merges into g-1 iff g%7=3 (the inter
-            -- edge) — components are runs of consecutive groups, so
-            -- seg_id is a running sum over group indices. Nodes appear
-            -- only via NON-self edges (the op drops u=v), hence the
-            -- explicit member construction.
+            -- edge) OR g%7=5 (the ADVISORY bridge — on the Spark side
+            -- that merge evidence exists only as a parsed #KGADV
+            -- document) — components are runs of consecutive groups,
+            -- so seg_id is a running sum over group indices. Nodes
+            -- appear only via NON-self edges (the op drops u=v),
+            -- hence the explicit member construction.
             WITH members AS (
                 SELECT c_custkey AS k FROM customer
                 WHERE c_custkey % 10 != 0
@@ -1528,17 +1558,17 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT c_custkey FROM customer
                 WHERE c_custkey % 10 = 0 AND c_custkey >= 10
-                  AND (c_custkey // 10) % 7 = 3
+                  AND (c_custkey // 10) % 7 IN (3, 5)
                 UNION
                 SELECT c_custkey - 10 FROM customer
                 WHERE c_custkey % 10 = 0 AND c_custkey >= 10
-                  AND (c_custkey // 10) % 7 = 3
+                  AND (c_custkey // 10) % 7 IN (3, 5)
             ), grp AS (
                 SELECT k, k // 10 AS g FROM members
             ), groups AS (
                 SELECT DISTINCT g FROM grp
             ), seg AS (
-                SELECT g, sum(CASE WHEN g % 7 = 3 AND g >= 1
+                SELECT g, sum(CASE WHEN g % 7 IN (3, 5) AND g >= 1
                                     AND EXISTS (SELECT 1 FROM customer
                                                 WHERE c_custkey = 10 * g)
                                THEN 0 ELSE 1 END)
