@@ -128,7 +128,37 @@ def main() -> None:
                 # merge commits — the Iceberg snapshot-summary analog)
                 n_triples = pipe.lineage.read("triples")["total_rows"]
                 n_edges = pipe.lineage.read("graph_merge")["total_rows"]
-            shutil.rmtree(run_dir, ignore_errors=True)
+            if i < max(repeats, 1) - 1:
+                shutil.rmtree(run_dir, ignore_errors=True)
+
+        # ---- graph analytics over the REAL materialized KG (the
+        # last run's edges table — the query_graph.py CLI surface),
+        # not only the synthetic sf frames: min-of-3, raw runs
+        # disclosed like every other query row
+        kg_secs: dict[str, float] = {}
+        kg_all: dict[str, list[float]] = {}
+        if os.environ.get("GUACKG_BENCH_QUERIES", "1") != "0":
+            from guackg import graph as G
+            from guackg import io as gio
+            kg_edges = gio.read_table(
+                spark, os.path.join(run_dir, "edges"))
+            kg_pairs = kg_edges.select("subj_key", "obj_key")
+            kg_queries = {
+                "kg_graph_pagerank": lambda: G.pagerank(kg_pairs),
+                "kg_graph_triangle_count":
+                    lambda: G.triangle_count(kg_pairs),
+                "kg_graph_k_core": lambda: G.k_core(kg_pairs),
+                "kg_graph_degree_stats":
+                    lambda: G.degree_stats(kg_pairs),
+            }
+            for name, fn in kg_queries.items():
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    fn().write.format("noop").mode("overwrite").save()
+                    times.append(round(time.time() - t0, 3))
+                kg_all[name] = times
+                kg_secs[name] = min(times)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -144,7 +174,11 @@ def main() -> None:
                 # round-4 curation additions
                 "dedup_paragraphs", "pii_redact", "url_domain_stats",
                 "corpus_contamination", "corpus_pack_sequences",
-                "graph_pagerank", "graph_triangle_count", "graph_k_core"]
+                "graph_pagerank", "graph_triangle_count", "graph_k_core",
+                # round-5: the one-call composed cleaner (gates + LSH
+                # near-dup + CC collapse) — the op a training-data
+                # team actually runs
+                "corpus_clean_stages"]
     if os.environ.get("GUACKG_BENCH_QUERIES", "1") == "0":
         headline = []
     # per-query min over ≥3 runs (round-3 verdict task #8: single-shot
@@ -163,6 +197,8 @@ def main() -> None:
         q_all[name] = times
         q_secs[name] = min(times)
     q_secs["kg_pipeline_e2e"] = round(elapsed, 3)
+    q_secs.update(kg_secs)
+    q_all.update(kg_all)
 
     print(json.dumps({
         "metric": "triples/sec end-to-end (extract→link→canonicalize→materialize)",

@@ -51,7 +51,8 @@ from guackg import io as gio
 from guackg.session import get_spark
 
 QUERIES = ("neighbors", "reachable", "blast", "roots", "path",
-           "path-edges", "toposort", "find")
+           "path-edges", "toposort", "find",
+           "pagerank", "triangles", "kcore", "degree")
 
 
 def _tombstoned_page_keys(spark, workdir):
@@ -116,6 +117,25 @@ def run_query(spark, args) -> tuple[list[dict], int]:
             return [], 0
     elif args.query == "toposort":
         df = G.toposort_levels(edges)
+    elif args.query in ("pagerank", "triangles", "kcore", "degree"):
+        # graph ANALYTICS over the pipeline's own materialized edges
+        # (optionally --preds-filtered, e.g. --preds mentions for the
+        # page-mention graph) — the centrality/density/coreness
+        # rollups demonstrated on the real KG, not a synthetic frame
+        e = edges
+        if preds:
+            e = e.filter(F.col("pred").isin(preds))
+        pairs = e.select("subj_key", "obj_key")
+        if args.query == "pagerank":
+            df = G.pagerank(pairs).orderBy(F.desc("rank"), "key")
+        elif args.query == "triangles":
+            df = G.triangle_count(pairs).orderBy(
+                F.desc("triangles"), "key")
+        elif args.query == "kcore":
+            df = G.k_core(pairs).orderBy(F.desc("core"), "key")
+        else:
+            df = G.degree_stats(pairs).orderBy(
+                F.desc("degree"), "key")
     elif args.query == "find":
         nodes = gio.read_table(spark, os.path.join(args.workdir, "nodes"))
         df = G.find_entities(nodes, kind=args.kind,

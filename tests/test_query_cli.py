@@ -196,3 +196,55 @@ def test_clean_corpus_cli_with_benchmark(spark, tmp_path):
     assert summary["kept"] == 1
     kept = spark.read.parquet(os.path.join(out, "kept"))
     assert {r.doc_id for r in kept.collect()} == {2}
+
+
+def test_query_cli_graph_analytics_over_real_kg(spark, built_workdir):
+    """pagerank/triangles/kcore/degree run over the pipeline's own
+    materialized edges table (SURVEY §3.2 surface), pred-filterable,
+    with exact parity against the ops invoked directly on the same
+    edge pairs — and kcore against the sequential peeling reference."""
+    import os
+
+    import query_graph as Q
+    from pyspark.sql import functions as F
+
+    from guackg import graph as G
+    from guackg import io as gio
+    from tests.test_graph_analytics import py_coreness
+
+    edges = gio.read_table(spark, os.path.join(built_workdir, "edges"))
+    pairs = edges.select("subj_key", "obj_key")
+
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="degree", limit=5))
+    assert total == pairs.selectExpr("subj_key as k").union(
+        pairs.selectExpr("obj_key as k")).distinct().count()
+    direct = G.degree_stats(pairs).orderBy(
+        F.desc("degree"), "key").limit(5).collect()
+    assert [r["key"] for r in rows] == [r.key for r in direct]
+
+    rows, _ = Q.run_query(
+        spark, _args(workdir=built_workdir, query="pagerank", limit=3))
+    direct = G.pagerank(pairs).orderBy(
+        F.desc("rank"), "key").limit(3).collect()
+    assert [(r["key"], round(r["rank"], 9)) for r in rows] == \
+        [(r.key, round(r.rank, 9)) for r in direct]
+
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="kcore", limit=10))
+    ref = py_coreness([(r.subj_key, r.obj_key)
+                       for r in pairs.collect()])
+    assert total == len(ref)
+    max_core = max(ref.values())
+    want_top = sorted((k for k, c in ref.items() if c == max_core))
+    got = [(r["key"], r["core"]) for r in rows]
+    assert got == [(k, max_core) for k in want_top[:10]] \
+        or all(c == max_core for _, c in got)
+
+    # pred filtering reaches the analytics: the mentions-only graph
+    # is page->entity bipartite, so it must contain zero triangles
+    # while the full graph's row universe is larger
+    rows, total = Q.run_query(
+        spark, _args(workdir=built_workdir, query="triangles",
+                     preds="mentions", limit=1))
+    assert total > 0 and rows[0]["triangles"] == 0
