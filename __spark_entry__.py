@@ -243,7 +243,10 @@ def _q_multimodal_decode(spark, sf_dir):
     # (tests/test_multimodal.py) pins the raw float array form.
     from guackg.ops.multimodal import (as_media_table, decode_media,
                                        with_png_payloads)
-    media = with_png_payloads(as_media_table(_docs(spark, sf_dir)))
+    # localCheckpoint: decode and the ihdr/nb projection both consume
+    # the payloads — without it the PNG encoder runs twice per row
+    media = with_png_payloads(
+        as_media_table(_docs(spark, sf_dir))).localCheckpoint()
     aux = media.select(
         "media_id",
         F.when(F.col("kind") == "image",

@@ -131,6 +131,15 @@ def main() -> None:
             if i < max(repeats, 1) - 1:
                 shutil.rmtree(run_dir, ignore_errors=True)
 
+        # the headline rate counts MENTION triples (what run_pipeline
+        # reports): the lineage row of the 'triples' stage table is
+        # the unfiltered parse output, which also carries advisory
+        # same_as assertions that never become mention edges
+        from guackg import io as gio
+        n_triples = (gio.read_table(
+            spark, os.path.join(run_dir, "triples"))
+            .filter("pred != 'same_as'").count())
+
         # ---- graph analytics over the REAL materialized KG (the
         # last run's edges table — the query_graph.py CLI surface),
         # not only the synthetic sf frames: min-of-3, raw runs
@@ -139,7 +148,6 @@ def main() -> None:
         kg_all: dict[str, list[float]] = {}
         if os.environ.get("GUACKG_BENCH_QUERIES", "1") != "0":
             from guackg import graph as G
-            from guackg import io as gio
             kg_edges = gio.read_table(
                 spark, os.path.join(run_dir, "edges"))
             kg_pairs = kg_edges.select("subj_key", "obj_key")
@@ -147,7 +155,11 @@ def main() -> None:
                 "kg_graph_pagerank": lambda: G.pagerank(kg_pairs),
                 "kg_graph_triangle_count":
                     lambda: G.triangle_count(kg_pairs),
-                "kg_graph_k_core": lambda: G.k_core(kg_pairs),
+                # generous explicit valve: the fixpoint is
+                # O(diameter) blocking rounds, so a pathological
+                # chain-shaped KG fails fast instead of hanging
+                "kg_graph_k_core":
+                    lambda: G.k_core(kg_pairs, max_iterations=300),
                 "kg_graph_degree_stats":
                     lambda: G.degree_stats(kg_pairs),
             }

@@ -61,8 +61,9 @@ from pyspark.sql import functions as F
 from guackg import io as gio
 from guackg.cc import canonicalize_keys, connected_components
 from guackg.lineage import Lineage
-from guackg.link import (equivalence_edges_from_links,
+from guackg.link import (advisory_edges, equivalence_edges_from_links,
                          identifier_candidates, relink_fallbacks)
+from guackg.triples import SAME_AS_PRED
 from guackg.materialize import (build_edges, build_nodes,
                                 page_map_fits_broadcast,
                                 page_mention_edges, resolve_triples)
@@ -77,6 +78,26 @@ def _mark(df: DataFrame, keys: DataFrame, col: str, marker: str) -> DataFrame:
     side = keys.select(F.col(keys.columns[0]).alias(col)).distinct() \
         .withColumn(marker, F.lit(1))
     return df.join(F.broadcast(side), on=col, how="left")
+
+
+def _cc_edges(spark, out, links, assertions, equiv=None):
+    """The canonicalizer's FULL edge set, mirrored from the pipeline's
+    canonicalize stage (pipeline.py _cc): linker equivalence edges,
+    PARSER-ASSERTED advisory equality (same_as triples from the
+    workdir's parsed table, resolved through the given links), and
+    caller-supplied assertions. The enrichment patch must rebuild
+    components over this same set — recomputing from linker edges
+    alone would silently split every advisory-merged component."""
+    if equiv is None:
+        equiv = equivalence_edges_from_links(links)
+    cc_in = equiv.select("key_a", "key_b")
+    adv = (gio.read_table(spark, out("triples"))
+           .filter(F.col("pred") == SAME_AS_PRED))
+    cc_in = cc_in.unionByName(
+        advisory_edges(adv, links).select("key_a", "key_b"))
+    if assertions is not None:
+        cc_in = cc_in.unionByName(assertions.select("key_a", "key_b"))
+    return cc_in
 
 
 def apply_promotions(
@@ -180,10 +201,7 @@ def apply_promotions(
         links_new_logical = (links_old.join(changed.select("norm"),
                                             on="norm", how="left_anti")
                              .unionByName(changed))
-        cc_in = equivalence_edges_from_links(links_new_logical) \
-            .select("key_a", "key_b")
-        if assertions is not None:
-            cc_in = cc_in.unionByName(assertions.select("key_a", "key_b"))
+        cc_in = _cc_edges(spark, out, links_new_logical, assertions)
         comps_new = connected_components(cc_in).localCheckpoint()
 
         # ---- 3. key remap (old final key → new final key)
@@ -250,12 +268,10 @@ def apply_promotions(
     equiv = equivalence_edges_from_links(links_new)
     gio.write_table(equiv, out("equivalence_edges"))
     equiv = gio.read_table(spark, out("equivalence_edges"))
-    cc_in = equiv.select("key_a", "key_b")
-    if assertions is not None:
-        cc_in = cc_in.unionByName(assertions.select("key_a", "key_b"))
     # recomputed from the POST-merge links table — identical to the
     # pre-journal logical computation (CC is deterministic in its edge
     # set), and the only correct source on a journal resume
+    cc_in = _cc_edges(spark, out, links_new, assertions, equiv=equiv)
     comps_new = connected_components(cc_in)
     gio.write_table(comps_new, out("canonicalize"))
     comps_new = gio.read_table(spark, out("canonicalize"))

@@ -225,17 +225,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                      on="doc_id")
             .select("doc_id", "ws"))
     base = (reps
-            .withColumn("hs", F.expr("transform(ws, w -> xxhash64(w))"))
-            .withColumn("sig", F.expr(
-                f"transform(sequence(0, {n_hashes - 1}), "
-                f"j -> array_min(transform(hs, h -> xxhash64(h, j))))"))
+            .withColumn("hs", _hs_col())
+            .withColumn("sig", _sig_col(n_hashes))
             .drop("hs"))
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band_id"),
-                 F.xxhash64(*[F.expr(f"sig[{b * rows_per_band + r}]")
-                              for r in range(rows_per_band)])
-                 .alias("band_hash"))
-        for b in range(n_bands)])
+    bands = _band_col(n_hashes, rows_per_band, n_bands)
     banded = base.withColumn("band", F.explode(bands)).select(
         "doc_id",
         F.col("band.band_id").alias("band_id"),
@@ -311,14 +304,21 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     return within.unionByName(cross)
 
 
+def _hs_col() -> F.Column:
+    """Word-hash array of the `ws` column: each word hashed ONCE;
+    the n permutations derive from the 8-byte long (standard MinHash
+    practice — n× fewer string hashes)."""
+    return F.expr("transform(ws, w -> xxhash64(w))")
+
+
 def _sig_col(n_hashes: int) -> F.Column:
-    """MinHash signature of the `ws` word array — the SAME derivation
-    minhash_lsh_pairs uses (one xxhash64 per word, permutations via
-    xxhash64(h, j)), shared so stored and fresh signatures agree."""
+    """MinHash signature from the precomputed `hs` word-hash column —
+    THE single signature derivation (minhash_lsh_pairs, the state
+    writer, and the stored-incremental path all call this), so stored
+    and fresh signatures can never drift apart."""
     return F.expr(
         f"transform(sequence(0, {n_hashes - 1}), "
-        f"j -> array_min(transform(transform(ws, w -> xxhash64(w)), "
-        f"h -> xxhash64(h, j))))")
+        f"j -> array_min(transform(hs, h -> xxhash64(h, j))))")
 
 
 def _band_col(n_hashes: int, rows_per_band: int,
@@ -354,6 +354,7 @@ def minhash_state(docs: DataFrame, text_col: str = "text",
     reps = (wsd.groupBy("fp1", "fp2")
             .agg(F.min("doc_id").alias("rep_id"),
                  F.expr("min_by(ws, doc_id)").alias("ws"))
+            .withColumn("hs", _hs_col())
             .withColumn("sig", _sig_col(n_hashes))
             .select("fp1", "fp2", "rep_id", "sig", "ws"))
     return (wsd.select("doc_id", "fp1", "fp2")
@@ -403,7 +404,8 @@ def minhash_lsh_pairs_stored(new_docs: DataFrame, state: DataFrame,
     (write_minhash_state's layout) to make the NEXT batch
     incremental too. Assumes batch doc_ids are disjoint from stored
     ones (the ingest invariant). Exactness vs the one-shot op is
-    pinned by tests/test_textclean.py."""
+    pinned by tests/test_ops.py::
+    test_minhash_stored_state_equals_full_restricted."""
     if n_bands is None:
         rows_per_band, n_bands = _banding_for(n_hashes, threshold)
     else:
@@ -425,7 +427,9 @@ def minhash_lsh_pairs_stored(new_docs: DataFrame, state: DataFrame,
                            F.expr("min_by(ws, doc_id)").alias("ws"))
                       .join(old_sigs.select("fp1", "fp2"),
                             on=["fp1", "fp2"], how="left_anti")
-                      .withColumn("sig", _sig_col(n_hashes)))
+                      .withColumn("hs", _hs_col())
+                      .withColumn("sig", _sig_col(n_hashes))
+                      .drop("hs"))
     group_sigs = old_sigs.unionByName(
         new_group_reps.select("fp1", "fp2", "sig", "ws"))
     banded = (group_sigs

@@ -66,6 +66,51 @@ def run_clean(spark, args) -> dict:
                                                  13),
                          max_contamination=getattr(
                              args, "max_contamination", 0.0))
+    # --dedup-state: the persisted cross-batch near-dup gate. First
+    # batch writes the minhash state table; later batches read it,
+    # drop batch docs that near-duplicate the STORED corpus (audit
+    # stage 'near_dup_corpus' — the within-batch 'near_dup' collapse
+    # already ran inside clean_corpus), and append their own state,
+    # so every batch's dedup work stays O(batch).
+    state_dir = getattr(args, "dedup_state", None)
+    if state_dir:
+        from pyspark.sql import functions as F
+
+        from guackg.ops.dedup import (minhash_lsh_pairs_stored,
+                                      write_minhash_state)
+        kept_docs = docs.join(audit.filter("keep").select("doc_id"),
+                              on="doc_id")
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            pairs, delta = minhash_lsh_pairs_stored(
+                kept_docs, state, text_col=args.text_col,
+                threshold=args.near_threshold)
+            old_ids = state.select("doc_id").distinct()
+            drop_ids = (pairs.join(old_ids.withColumnRenamed(
+                            "doc_id", "doc_a"), on="doc_a")
+                        .select(F.col("doc_b").alias("doc_id"))
+                        .union(pairs.join(old_ids.withColumnRenamed(
+                            "doc_id", "doc_b"), on="doc_b")
+                            .select(F.col("doc_a").alias("doc_id")))
+                        .distinct()
+                        .join(kept_docs.select("doc_id"), on="doc_id")
+                        .withColumn("_cross", F.lit(True))
+                        .localCheckpoint())
+            audit = (audit.join(drop_ids, on="doc_id", how="left")
+                     .withColumn("keep",
+                                 F.when(F.col("_cross"), F.lit(False))
+                                 .otherwise(F.col("keep")))
+                     .withColumn("stage",
+                                 F.when(F.col("_cross"),
+                                        F.lit("near_dup_corpus"))
+                                 .otherwise(F.col("stage")))
+                     .drop("_cross").localCheckpoint())
+            delta.join(audit.filter("keep").select("doc_id"),
+                       on="doc_id") \
+                .write.mode("append").parquet(state_dir)
+        else:
+            write_minhash_state(kept_docs, state_dir,
+                                text_col=args.text_col)
     if args.out:
         # audit comes back checkpointed (clean_corpus materializes
         # it), so the write, the kept join, and the stats rollup all
@@ -104,6 +149,13 @@ def main() -> None:
                          "the decontamination gate (n-gram overlap)")
     ap.add_argument("--contamination-n", type=int, default=13)
     ap.add_argument("--max-contamination", type=float, default=0.0)
+    ap.add_argument("--dedup-state", default=None,
+                    help="dir for the persisted minhash near-dup "
+                         "state: first batch writes it, later batches "
+                         "drop docs near-duplicating the stored "
+                         "corpus (stage near_dup_corpus) and append "
+                         "their own state — O(batch) incremental "
+                         "ingest")
     ap.add_argument("--drop-dup-paragraphs", action="store_true",
                     help="remove corpus-wide duplicated paragraphs "
                          "BEFORE the gates (RefinedWeb order); kept/ "

@@ -132,7 +132,11 @@ def run_query(spark, args) -> tuple[list[dict], int]:
             df = G.triangle_count(pairs).orderBy(
                 F.desc("triangles"), "key")
         elif args.query == "kcore":
-            df = G.k_core(pairs).orderBy(F.desc("core"), "key")
+            # generous explicit valve: the fixpoint is O(diameter)
+            # blocking rounds — a pathological chain-shaped graph
+            # should fail fast (RuntimeError) instead of hanging
+            df = G.k_core(pairs, max_iterations=300) \
+                .orderBy(F.desc("core"), "key")
         else:
             df = G.degree_stats(pairs).orderBy(
                 F.desc("degree"), "key")

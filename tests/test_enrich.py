@@ -374,3 +374,57 @@ def test_promotion_splits_assertion_merged_fallback_entity(
                 gio.read_table(spark, os.path.join(w, "nodes"))
                 .select("canonical_key").collect()}
     assert _nodes(wd) & stale == _nodes(wf) & stale
+
+
+def test_apply_promotions_preserves_advisory_merges(spark, tmp_path):
+    """The enrichment patch recomputes connected components — it must
+    rebuild them over the SAME edge set the pipeline's canonicalize
+    stage used, including parser-asserted advisory equality. Before
+    the fix, a promotion pass silently split every advisory-merged
+    component (the CC recompute unioned linker edges + caller
+    assertions only)."""
+    from datetime import datetime
+
+    from guackg.pipeline import KGPipeline
+    ts = datetime(2024, 1, 1)
+    pages = [
+        ("https://x.example.com/a", ts,
+         b"<p>Zorblatt Industries acquired Widget X.</p>", None, "en"),
+        ("https://x.example.com/b", ts,
+         b"<p>Vexcorp Amalgamated acquired Widget Y.</p>", None, "en"),
+        ("https://x.example.com/adv", ts,
+         b"#KGADV v1\nequal: Zorblatt Industries == "
+         b"Vexcorp Amalgamated\n", None, "en"),
+    ]
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    alias = spark.createDataFrame(
+        [("unrelated surface", "ent:guac/unrelated")],
+        "surface string, canonical_key string")
+    wd = str(tmp_path / "advwd")
+    KGPipeline(spark, wd).run(spark.createDataFrame(pages, schema),
+                              alias, input_fingerprint="adv-enrich")
+
+    def merged(comps_rows):
+        comp = {r.member_key: r.canon_key for r in comps_rows}
+        z = comp.get("ent:guac/zorblatt industries",
+                     "ent:guac/zorblatt industries")
+        v = comp.get("ent:guac/vexcorp amalgamated",
+                     "ent:guac/vexcorp amalgamated")
+        return z == v
+
+    comps = spark.read.parquet(f"{wd}/canonicalize").collect()
+    assert merged(comps)
+    # promote an UNRELATED fallback surface (widget x) — the patch
+    # must not disturb the advisory-merged component
+    promoted = spark.createDataFrame(
+        [("widget x", "ent:thing/widget_x", "thing")],
+        "surface string, canonical_key string, kind string")
+    enriched = alias.unionByName(spark.createDataFrame(
+        [("Widget X", "ent:thing/widget_x")],
+        "surface string, canonical_key string"))
+    stats = apply_promotions(spark, wd, promoted, enriched,
+                             input_fingerprint="adv-enrich")
+    assert stats["changed_links"] == 1
+    comps2 = spark.read.parquet(f"{wd}/canonicalize").collect()
+    assert merged(comps2)

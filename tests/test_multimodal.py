@@ -58,7 +58,10 @@ def test_decode_media_deterministic_and_shaped(png_media):
             assert r.n_frames == 1
         else:
             assert r.width is None and r.height is None
-            assert r.n_frames == (1 if r.kind == "audio" else r.n_frames)
+            if r.kind == "audio":
+                assert r.n_frames == 1
+            else:
+                assert r.n_frames >= 1
         assert len(r.features) == 16
         assert abs(sum(r.features) - 1.0) < 1e-3  # L1-normalized histogram
     assert n_images > 0

@@ -248,3 +248,54 @@ def test_query_cli_graph_analytics_over_real_kg(spark, built_workdir):
         spark, _args(workdir=built_workdir, query="triangles",
                      preds="mentions", limit=1))
     assert total > 0 and rows[0]["triangles"] == 0
+
+
+def test_clean_corpus_cli_incremental_dedup_state(spark, tmp_path):
+    """--dedup-state: batch 1 writes the persisted minhash state at
+    ingest; batch 2 reads it, drops docs that near-duplicate the
+    STORED corpus (audit stage 'near_dup_corpus') without ever seeing
+    batch 1's text, and appends its own state for batch 3."""
+    import argparse as _ap
+
+    import clean_corpus as C
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a friend to rest for a while longer")
+    other = ("completely different words about boats sailing on the "
+             "open sea with wind and salt and long quiet evenings")
+    state = str(tmp_path / "dedup_state")
+
+    def run(batch_rows, tag):
+        inp = str(tmp_path / f"in_{tag}.parquet")
+        spark.createDataFrame(batch_rows,
+                              "doc_id long, text string") \
+            .write.parquet(inp)
+        out = str(tmp_path / f"out_{tag}")
+        args = _ap.Namespace(input=inp, out=out, text_col="text",
+                             langs="en", min_quality=0.0,
+                             near_threshold=0.5,
+                             max_dup_line_frac=None,
+                             drop_dup_paragraphs=False,
+                             dedup_state=state, master=None)
+        return C.run_clean(spark, args), out
+
+    s1, _ = run([(1, good)], "b1")
+    assert s1["kept"] == 1 and os.path.isdir(state)
+
+    # batch 2: a near-dup of the stored doc, and a fresh doc
+    s2, out2 = run([(100, good.replace("lazy", "sleepy")),
+                    (101, other)], "b2")
+    assert s2["dropped_per_stage"].get("near_dup_corpus") == 1
+    assert s2["kept"] == 1
+    audit2 = spark.read.parquet(os.path.join(out2, "audit"))
+    by_id = {r.doc_id: r for r in audit2.collect()}
+    assert by_id[100].stage == "near_dup_corpus" and not by_id[100].keep
+    assert by_id[101].keep
+
+    # the store now covers both batches' kept docs
+    st = spark.read.parquet(state)
+    assert {r.doc_id for r in st.collect()} == {1, 101}
+    # batch 3: duplicates the batch-2 survivor -> dropped via the
+    # APPENDED state
+    s3, _ = run([(200, other)], "b3")
+    assert s3["dropped_per_stage"].get("near_dup_corpus") == 1
