@@ -176,9 +176,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     duplicate groups contain no new member are dropped BEFORE the
     signature prefilter and exact-verify tiers, so the expensive work
     is proportional to the batch, not the corpus. (Old-old pairs are
-    already known from previous runs; at deploy scale the old side's
-    signatures would come from a stored table rather than recompute —
-    the banding input is the seam to swap there.)
+    already known from previous runs. This mode still recomputes the
+    old side's signatures; the PERSISTED variant that reads them from
+    a stored table instead is minhash_lsh_pairs_stored below, fed by
+    write_minhash_state at ingest.)
 
     `n_bands=None` (default) tunes the banding to the threshold via
     `_banding_for` — longer bands at higher thresholds keep the
