@@ -824,9 +824,15 @@ def k_core(edges: DataFrame, subj_col: str = "subj_key",
             del deg[victim]
         return spark.createDataFrame(
             sorted(core.items()), "key string, core int")
+    # pre-partition the adjacency by the per-round join key ONCE:
+    # localCheckpoint preserves the hash partitioning, so every
+    # round's join shuffles only the O(nodes) value frame — the
+    # 2m-row adjacency never moves again (the same
+    # checkpoint-the-big-side-once shape pagerank uses)
     adj = (und.select(F.col("u").alias("key"), F.col("v").alias("nbr"))
            .union(und.select(F.col("v").alias("key"),
                              F.col("u").alias("nbr")))
+           .repartition("nbr")
            .localCheckpoint())
     m = und.count()  # already materialized; a metadata-cheap count
     und.unpersist()
