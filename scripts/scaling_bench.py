@@ -96,10 +96,15 @@ def main() -> None:
         if i < rep_big:
             order.append(n_big)
     last_big = len(order) - 1 - order[::-1].index(n_big)
+    # GUACKG_SCALE_QUERIES=0 skips the final big leg's operator-query
+    # battery entirely (it includes the full-KG analytics, ~25 min at
+    # 4 single-core executors) — only the pipeline feeds the
+    # efficiency metric, so ratio-only re-records use this
+    want_queries = os.environ.get("GUACKG_SCALE_QUERIES", "1") != "0"
     for pos, cfg in enumerate(order):
         os.environ["GUACKG_BENCH_QUERIES"] = \
-            "1" if pos == last_big else "0"  # the final big leg keeps
-        # the operator-query timings for the report
+            "1" if (pos == last_big and want_queries) else "0"
+        # the final big leg keeps the operator-query timings
         runs[cfg].append(run_bench(cores_of(cfg), sf_dir, master_of(cfg)))
 
     med = {c: max(r["value"] for r in rs)  # best throughput, timeit-style
